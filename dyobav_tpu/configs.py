@@ -1,0 +1,209 @@
+"""Typed configuration system (L0).
+
+Mirrors the configuration surface of the reference (`src/configs.py:10-199` in
+Woodenonez/DyObAv-MPCnWTA-Warehouse): the same five config families with the
+same field names, loadable from the same YAML files (including the
+multi-document "partition" YAML used by the WTA net config), so that reference
+config files run unmodified.  Implemented as frozen dataclasses with defaults
+equal to the reference's shipped configs, so the framework is also fully
+usable without any YAML on disk.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+import yaml
+
+
+def _load_yaml(path: str, multi_doc: bool = False) -> dict:
+    with open(path, "r") as stream:
+        if multi_doc:
+            merged: dict = {}
+            for doc in yaml.safe_load_all(stream):
+                if doc:
+                    merged.update(doc)
+            return merged
+        return yaml.safe_load(stream) or {}
+
+
+class _YamlConfig:
+    """Mixin: construct any config dataclass from a (reference-schema) YAML."""
+
+    @classmethod
+    def from_yaml(cls, yaml_path: str, with_partition: bool = False):
+        raw = _load_yaml(yaml_path, multi_doc=with_partition)
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: dict):
+        names = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in raw.items() if k in names}
+        return cls(**kwargs)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+@dataclass(frozen=True)
+class WarehouseSimConfiguration(_YamlConfig):
+    """Scene/simulation wiring (ref `configs.py:61-83`)."""
+
+    scene: str = "warehouse"
+    map_dir: str = "warehouse_sim_original"
+    map_file: str = "mymap.pgm"
+    graph_file: str = "mygraph.json"
+    mmp_cfg: str = "wsd_1t20_test.yaml"
+    mpc_cfg: str = "mpc_fast.yaml"
+    dwa_cfg: str = "dwa_test.yaml"
+    sim_width: int = 330
+    sim_height: int = 293
+    scale2nn: float = 1.0
+    scale2real: float = 0.1
+    image_axis: bool = False
+    corner_coords: List[float] = field(default_factory=lambda: [-15.0, -15.0])
+
+
+@dataclass(frozen=True)
+class CircularRobotSpecification(_YamlConfig):
+    """Physical + kinematic robot limits (ref `configs.py:86-103`)."""
+
+    ts: float = 0.2
+    vehicle_width: float = 0.5
+    vehicle_margin: float = 0.2
+    social_margin: float = 0.2
+    lin_vel_min: float = -0.5
+    lin_vel_max: float = 1.5
+    lin_acc_min: float = -1.0
+    lin_acc_max: float = 1.0
+    ang_vel_max: float = 0.5
+    ang_acc_max: float = 3.0
+
+
+@dataclass(frozen=True)
+class MpcConfiguration(_YamlConfig):
+    """NMPC problem dimensions + penalty weights (ref `configs.py:140-176`).
+
+    The solver-build fields of the reference (`build_directory`, `build_type`,
+    `optimizer_name`) are accepted for YAML compatibility but unused: there is
+    no codegen phase — the problem jit-compiles on first use.
+    """
+
+    ts: float = 0.2
+    N_hor: int = 20
+    action_steps: int = 1
+    ns: int = 3
+    nu: int = 2
+    nq: int = 10
+    Nother: int = 10
+    nstcobs: int = 12
+    Nstcobs: int = 10
+    ndynobs: int = 6
+    Ndynobs: int = 15
+    max_solver_time: int = 100_000  # microseconds; solve-time budget
+    build_directory: str = "mpc_solver"
+    build_type: str = "release"
+    bad_exit_codes: List[str] = field(
+        default_factory=lambda: ["NotConvergedIterations", "NotConvergedOutOfTime"]
+    )
+    optimizer_name: str = "navi_fast"
+    lin_vel_penalty: float = 0.0
+    lin_acc_penalty: float = 10.0
+    ang_vel_penalty: float = 0.0
+    ang_acc_penalty: float = 20.0
+    qrpd: float = 100.0
+    qpos: float = 0.0
+    qvel: float = 10.0
+    qtheta: float = 0.0
+    qpN: float = 0.0
+    qthetaN: float = 0.0
+
+    @property
+    def n_params(self) -> int:
+        """Length of the flat solver parameter vector (ref layout, ~2778)."""
+        return (
+            self.nu                                      # u_m1
+            + self.ns                                    # s_0
+            + self.ns                                    # s_N
+            + self.nq                                    # q penalties
+            + self.ns * self.N_hor                       # ref states
+            + self.N_hor                                 # ref speeds
+            + self.ns * self.Nother                      # other robots @ t0
+            + self.ns * self.N_hor * self.Nother         # other robots predicted
+            + self.Nstcobs * self.nstcobs                # static obstacles
+            + self.Ndynobs * self.ndynobs * (self.N_hor + 1)  # dynamic obstacles
+            + self.N_hor                                 # static obstacle weights
+            + self.N_hor                                 # dynamic obstacle weights
+        )
+
+
+@dataclass(frozen=True)
+class DwaConfiguration(_YamlConfig):
+    """Dynamic-window-approach tracker config (ref `configs.py:179-199`)."""
+
+    ts: float = 0.2
+    N_hor: int = 20
+    ns: int = 3
+    nu: int = 2
+    vel_resolution: float = 0.1
+    ang_resolution: float = 0.1
+    stuck_threshold: float = 0.001
+    q_goal_dir: float = 0.05
+    q_ref_deviation: float = 0.1
+    q_speed: float = 1.0
+    q_stc_obstacle: float = 2.0
+    q_dyn_obstacle: float = 2.0
+    q_social: float = 0.1
+
+
+@dataclass(frozen=True)
+class WtaNetConfiguration(_YamlConfig):
+    """SWTA predictor net + training config (ref `configs.py:106-137`).
+
+    Loaded from the multi-document YAML with `with_partition=True`.
+    """
+
+    device: str = "tpu"
+    dim_out: int = 2
+    dynamic_env: bool = False
+    fc_input: int = 3200
+    input_channel: int = 7
+    num_hypos: int = 20
+    obsv_len: int = 5
+    pred_len: int = 1
+    batch_size: int = 20
+    checkpoint_dir: str = "Model/"
+    early_stopping: int = 0
+    epoch: int = 20
+    learning_rate: float = 0.001
+    weight_regularization: float = 0.0001
+    cell_width: float = 1.0
+    x_max_px: int = 330
+    y_max_px: int = 293
+    data_name: str = "WSD_1t20_train"
+    data_path: str = "data/WSD_1t20_train"
+    label_csv: str = "all_data.csv"
+    label_path: str = "data/WSD_1t20_train/all_data.csv"
+    model_path: str = "Model/wsd_1t20"
+
+
+@dataclass(frozen=True)
+class SolverConfiguration:
+    """PANOC/ALM solver knobs — the TPU-side analogue of OpEn's
+    `SolverConfiguration` (ref `mpc_builder.py:187-195`).
+
+    Fixed iteration caps keep the compiled program static-shaped so the whole
+    solve vmaps/shards cleanly over scenario batches; converged lanes are
+    masked out rather than exiting early.
+    """
+
+    max_inner_iters: int = 30       # inner iterations in the first ALM stage
+    max_outer_iters: int = 10       # ALM / penalty update stages (OpEn default)
+    inner_iters_later: int = 10     # inner iterations per warm-started stage
+    initial_penalty: float = 10.0   # matches OpEn with_initial_penalty(10)
+    penalty_update_factor: float = 5.0
+    tol: float = 1e-4               # fixed-point-residual tolerance (inner)
+    constraint_tol: float = 1e-3    # ALM infeasibility tolerance
+    lbfgs_memory: int = 10
+    dtype: Any = None               # default float32; jnp dtype override

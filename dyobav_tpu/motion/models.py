@@ -1,0 +1,79 @@
+"""Kinematic motion models as pure JAX functions (L1).
+
+One implementation serves the simulator, the MPC rollout (traced under jit /
+`lax.scan`), and the DWA candidate rollout — replacing the reference's dual
+numpy/CasADi-SX dispatch (`basic_motion_model/motion_model.py:130-163`).
+`jax.grad` through these functions replaces CasADi autodiff.
+
+state  = (x, y, theta)
+action = (v, omega)        for the unicycle
+action = (vx, vy, omega)   for the omnidirectional model
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+
+
+def unicycle_derivative(state: jnp.ndarray, action: jnp.ndarray) -> jnp.ndarray:
+    v, w = action[0], action[1]
+    return jnp.stack([v * jnp.cos(state[2]), v * jnp.sin(state[2]), w])
+
+
+def unicycle_step(state: jnp.ndarray, action: jnp.ndarray, ts: float, rk4: bool = True) -> jnp.ndarray:
+    """Unicycle kinematics, RK4-integrated by default.
+
+    Ref: `motion_model.unicycle_model` (motion_model.py:141-163).  The
+    reference's RK4 holds the action constant across sub-steps; so do we.
+    """
+    if rk4:
+        k1 = ts * unicycle_derivative(state, action)
+        k2 = ts * unicycle_derivative(state + 0.5 * k1, action)
+        k3 = ts * unicycle_derivative(state + 0.5 * k2, action)
+        k4 = ts * unicycle_derivative(state + k3, action)
+        return state + (k1 + 2.0 * k2 + 2.0 * k3 + k4) / 6.0
+    return state + ts * unicycle_derivative(state, action)
+
+
+def omnidirectional_step(state: jnp.ndarray, action: jnp.ndarray, ts: float) -> jnp.ndarray:
+    """Holonomic model: state += ts * action.
+
+    Ref: `motion_model.omnidirectional_model` (motion_model.py:130-139).
+    """
+    return state + ts * action
+
+
+class MotionModel:
+    """Thin callable wrapper carrying (state_dim, action_dim, ts).
+
+    Mirrors the reference's `MotionModel` ABC surface
+    (motion_model.py:32-68) for the tracker/agent protocol.
+    """
+
+    def __init__(self, fn: Callable, state_dim: int, action_dim: int, ts: float):
+        self.fn = fn
+        self.state_dim = state_dim
+        self.action_dim = action_dim
+        self.ts = ts
+
+    def __call__(self, state, action, ts: float | None = None):
+        return self.fn(jnp.asarray(state), jnp.asarray(action), self.ts if ts is None else ts)
+
+    def zero_state(self):
+        return jnp.zeros(self.state_dim)
+
+    def zero_action(self):
+        return jnp.zeros(self.action_dim)
+
+
+class UnicycleModel(MotionModel):
+    def __init__(self, ts: float, rk4: bool = True):
+        super().__init__(
+            lambda s, a, t: unicycle_step(s, a, t, rk4=rk4), 3, 2, ts
+        )
+
+
+class OmnidirectionalModel(MotionModel):
+    def __init__(self, ts: float):
+        super().__init__(omnidirectional_step, 3, 3, ts)

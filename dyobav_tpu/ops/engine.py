@@ -1,0 +1,90 @@
+"""NMPC engine: config → jitted (and batch-vmapped) solve functions.
+
+The TPU-native analogue of the reference's offline build phase
+(`solver_build.py` + `mpc_builder.MpcModule.build`): instead of emitting a
+Rust crate, `build_mpc_solver` closes the cost library over the configuration
+and returns functions that jit-compile on first call.  The "parameter vector"
+interface is kept byte-compatible with the generated OpEn solver (see
+`ops.params`), so the same assembly code drives both.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import (CircularRobotSpecification, MpcConfiguration,
+                       SolverConfiguration)
+from . import costs
+from .newton import make_alm_newton_solver
+from .panoc import make_panoc_solver
+from .params import unpack
+
+
+class MpcSolve(NamedTuple):
+    u: jnp.ndarray              # (N_hor * nu,) optimal action sequence
+    cost: jnp.ndarray           # scalar objective at the solution
+    pred_states: jnp.ndarray    # (N_hor, ns) predicted states under u
+    exit_ok: jnp.ndarray        # bool: converged within tolerances
+    infeasibility: jnp.ndarray  # scalar constraint violation
+
+
+class MpcSolverBundle(NamedTuple):
+    solve: Callable             # (z, u0) -> MpcSolve              [jitted]
+    solve_batch: Callable       # (Z[B,n], U0[B,m]) -> MpcSolve    [jitted vmap]
+    objective: Callable         # (u, z) -> CostBreakdown (diagnostics)
+    n_params: int
+    n_decision: int
+
+
+def build_mpc_solver(
+    cfg: MpcConfiguration,
+    robot: CircularRobotSpecification,
+    solver_cfg: SolverConfiguration | None = None,
+    dtype=jnp.float32,
+    method: str = "newton",
+) -> MpcSolverBundle:
+    """Construct the jitted NMPC solve for one (MPC config, robot spec) pair.
+
+    method: "newton" (default — dense-Hessian ALM, see `ops.newton`) or
+            "panoc" (first-order, see `ops.panoc`).
+    """
+    scfg = solver_cfg or SolverConfiguration()
+    if scfg.dtype is not None:
+        dtype = scfg.dtype
+
+    u_lo, u_hi = costs.action_bounds(cfg, robot, dtype)
+    c_lo, c_hi = costs.acceleration_bounds(cfg, robot, dtype)
+    make_solver = (make_alm_newton_solver if method == "newton"
+                   else make_panoc_solver)
+
+    def objective_with_params(u_flat, z):
+        p = unpack(z.astype(dtype), cfg)
+        return costs.evaluate(u_flat, p, cfg, robot)
+
+    def _solve_one(z: jnp.ndarray, u0: jnp.ndarray) -> MpcSolve:
+        z = z.astype(dtype)
+
+        def obj(u_flat):
+            br = objective_with_params(u_flat, z)
+            return br.objective, br.f1, br.f2
+
+        res = make_solver(obj, u_lo, u_hi, c_lo, c_hi, scfg)(u0.astype(dtype))
+        br = objective_with_params(res.u, z)
+        return MpcSolve(
+            u=res.u, cost=res.cost, pred_states=br.states,
+            exit_ok=res.converged, infeasibility=res.infeasibility,
+        )
+
+    solve = jax.jit(_solve_one)
+    solve_batch = jax.jit(jax.vmap(_solve_one))
+
+    return MpcSolverBundle(
+        solve=solve,
+        solve_batch=solve_batch,
+        objective=jax.jit(objective_with_params),
+        n_params=cfg.n_params,
+        n_decision=cfg.nu * cfg.N_hor,
+    )

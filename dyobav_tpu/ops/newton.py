@@ -1,0 +1,180 @@
+"""Second-order ALM solver: two-metric projected Levenberg–Marquardt Newton.
+
+Why this exists: the OpEn-style penalty formulation squares the *summed*
+horizon violations, giving the merit function directional curvatures of 1e8+
+once the penalty weight escalates.  A first-order method (PANOC included)
+needs step sizes ~1e-10 and crawls; the reference's Rust solver simply burns
+thousands of cheap CPU iterations inside its 100-500 ms budget.  On TPU the
+right design is the opposite: the decision vector is tiny (nu*N_hor = 40),
+so we compute the *exact dense Hessian* of the ALM merit with
+forward-over-reverse autodiff and take damped projected Newton steps —
+40x40 linear solves are ideal batched MXU work, and the solver converges in
+tens of iterations instead of tens of thousands.
+
+Structure (mirrors `panoc.make_panoc_solver`'s contract):
+  outer — augmented Lagrangian on F1 ∈ C (rectangle) + quadratic penalty on
+          F2 = 0, penalty x5 escalation from 10 (OpEn semantics).
+  inner — LM-Newton: at each iteration build H = ∇²ψ, mask the active box
+          set (two-metric projection), and try a ladder of damping values in
+          parallel, keeping the best merit decrease.
+
+Everything is static-shaped: `lax.scan` iterations, masked convergence,
+vmap-able over batched problem parameters.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import SolverConfiguration
+
+# Damping multipliers tried in parallel each iteration (relative to carried λ).
+_LM_LADDER = (0.2, 1.0, 5.0, 50.0)
+
+
+class NewtonResult(NamedTuple):
+    u: jnp.ndarray
+    cost: jnp.ndarray
+    residual: jnp.ndarray
+    infeasibility: jnp.ndarray
+    penalty: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def make_alm_newton_solver(
+    objective: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
+    u_lo: jnp.ndarray,
+    u_hi: jnp.ndarray,
+    c_lo: jnp.ndarray,
+    c_hi: jnp.ndarray,
+    solver_cfg: SolverConfiguration,
+):
+    """Build the jittable ALM-Newton solve (same contract as PANOC builder)."""
+    scfg = solver_cfg
+    n = u_lo.shape[0]
+    eye = jnp.eye(n)
+    bound_eps = 1e-9
+
+    def proj_box(u):
+        return jnp.clip(u, u_lo, u_hi)
+
+    def proj_rect(x):
+        return jnp.clip(x, c_lo, c_hi)
+
+    def merit_fn(u, y, c):
+        f, f1, f2 = objective(u)
+        shifted = f1 + y / c
+        alm = shifted - proj_rect(shifted)
+        return f + 0.5 * c * (jnp.sum(alm * alm) + jnp.sum(f2 * f2))
+
+    merit_grad = jax.value_and_grad(merit_fn)
+    # Forward-over-reverse exact Hessian: n JVP columns through the rollout.
+    merit_hess = jax.jacfwd(jax.grad(merit_fn))
+
+    lm_ladder = jnp.array(_LM_LADDER)
+
+    def inner_solve(u0, y, c, n_iters: int):
+        dtype = u0.dtype
+        psi0, g0 = merit_grad(u0, y, c)
+
+        def iteration(carry, _):
+            u, psi_u, g_u, lam, done = carry
+
+            H = merit_hess(u, y, c)
+
+            # Two-metric projection: freeze coordinates pressed against an
+            # active bound with the gradient pointing outward.
+            at_lo = (u <= u_lo + bound_eps) & (g_u > 0)
+            at_hi = (u >= u_hi - bound_eps) & (g_u < 0)
+            free = jnp.logical_not(at_lo | at_hi).astype(dtype)
+            M = free[:, None] * free[None, :]
+            H_free = H * M + (1.0 - jnp.diag(free)) * eye
+            g_free = g_u * free
+
+            # Scale-aware damping: λ multiplies the Hessian diagonal scale.
+            diag_scale = jnp.maximum(jnp.abs(jnp.diag(H_free)), 1.0)
+
+            def candidate(mult):
+                lam_c = lam * mult
+                A = H_free + lam_c * jnp.diag(diag_scale)
+                d = -jax.scipy.linalg.solve(A, g_free, assume_a="pos")
+                u_c = proj_box(u + d)
+                psi_c = merit_fn(u_c, y, c)
+                valid = jnp.all(jnp.isfinite(u_c)) & jnp.isfinite(psi_c)
+                return u_c, jnp.where(valid, psi_c, jnp.inf), lam_c
+
+            cu, cpsi, clam = jax.vmap(candidate)(lm_ladder.astype(dtype))
+            best = jnp.argmin(cpsi)
+            improved = cpsi[best] < psi_u - 1e-12
+
+            move = improved & jnp.logical_not(done)
+            u_new = jnp.where(move, cu[best], u)
+            lam_new = jnp.where(
+                improved,
+                jnp.maximum(clam[best] * 0.5, 1e-10),
+                jnp.minimum(lam * 100.0, 1e10),
+            )
+            psi_new, g_new = merit_grad(u_new, y, c)
+
+            # Projected-gradient stationarity residual.
+            r = u_new - proj_box(u_new - g_new)
+            r_norm = jnp.max(jnp.abs(r))
+            done_new = done | (r_norm <= scfg.tol) | (
+                jnp.logical_not(improved) & (lam >= 1e8))
+
+            return (u_new, psi_new, g_new, lam_new, done_new), r_norm
+
+        init = (u0, psi0, g0, jnp.asarray(1e-3, u0.dtype), jnp.array(False))
+        (u, _, g, _, _), r_hist = jax.lax.scan(
+            iteration, init, None, length=n_iters)
+        r = jnp.max(jnp.abs(u - proj_box(u - g)))
+        return u, r
+
+    n_stage_iters = [scfg.max_inner_iters] + [
+        max(scfg.inner_iters_later, 4)
+    ] * (scfg.max_outer_iters - 1)
+
+    def solve(u0: jnp.ndarray) -> NewtonResult:
+        dtype = u0.dtype
+        u = proj_box(u0)
+        y = jnp.zeros_like(c_lo).astype(dtype)
+        c = jnp.asarray(scfg.initial_penalty, dtype)
+        prev_inf = jnp.array(0.0, dtype)
+        outer_done = jnp.array(False)
+        r_final = jnp.array(jnp.inf, dtype)
+
+        for n_iters in n_stage_iters:
+            u_new, r_norm = inner_solve(u, y, c, n_iters)
+
+            _, f1, f2 = objective(u_new)
+            shifted = f1 + y / c
+            y_new = y + c * (f1 - proj_rect(shifted))
+            viol1 = jnp.max(jnp.abs(f1 - proj_rect(f1)))
+            inf_new = jnp.maximum(viol1, jnp.max(jnp.abs(f2)))
+
+            improved = inf_new <= 0.1 * prev_inf
+            c_new = jnp.where(improved, c, c * scfg.penalty_update_factor)
+
+            keep = outer_done
+            u = jnp.where(keep, u, u_new)
+            y = jnp.where(keep, y, y_new)
+            c = jnp.where(keep, c, c_new)
+            prev_inf = jnp.where(keep, prev_inf, inf_new)
+            r_final = jnp.where(keep, r_final, r_norm)
+            outer_done = outer_done | (inf_new <= scfg.constraint_tol)
+
+        f, f1, f2 = objective(u)
+        viol1 = jnp.max(jnp.abs(f1 - proj_rect(f1)))
+        infeas = jnp.maximum(viol1, jnp.max(jnp.abs(f2)))
+        # Residual criterion is cost-scale-relative: in f32 the stationarity
+        # residual bottoms out around eps * |cost| regardless of solver
+        # quality, so an absolute tolerance would mislabel converged solves.
+        r_ok = r_final <= 100 * scfg.tol * jnp.maximum(1.0, jnp.abs(f) * 1e-3)
+        return NewtonResult(
+            u=u, cost=f, residual=r_final, infeasibility=infeas, penalty=c,
+            converged=(infeas <= scfg.constraint_tol) & r_ok,
+        )
+
+    return solve

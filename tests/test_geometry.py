@@ -1,0 +1,121 @@
+"""Geometry primitive tests.
+
+Hand-computed expected values mirror the solver-independent ground truth used
+by the reference suite (`src/tests/test_mpc_builder.py:15-120`).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dyobav_tpu.utils import geometry as geo
+
+
+def test_dist_to_points_sq():
+    out = geo.dist_to_points_sq(jnp.array([0.0, 0.0]),
+                                jnp.array([[1.0, 0.0], [2.0, 0.0]]))
+    np.testing.assert_allclose(np.asarray(out), [1.0, 4.0], atol=1e-6)
+
+
+def test_dist_to_linesegs():
+    # Point (1,2) vs segment (3,2)-(3,0): perpendicular distance 2.
+    d1 = geo.dist_to_linesegs(jnp.array([1.0, 2.0]),
+                              jnp.array([[3.0, 2.0]]), jnp.array([[3.0, 0.0]]))
+    np.testing.assert_allclose(np.asarray(d1), [2.0], atol=1e-6)
+    # Point (1,2) vs segment (3,1)-(3,0): closest endpoint (3,1), dist sqrt(5).
+    d2 = geo.dist_to_linesegs(jnp.array([1.0, 2.0]),
+                              jnp.array([[3.0, 1.0]]), jnp.array([[3.0, 0.0]]))
+    np.testing.assert_allclose(np.asarray(d2), [np.sqrt(5)], atol=1e-6)
+
+
+def test_lineseg_dists_matrix():
+    pts = jnp.array([[1.0, 2.0], [0.0, 0.0]])
+    a = jnp.array([[3.0, 2.0], [3.0, 1.0]])
+    b = jnp.array([[3.0, 0.0], [3.0, 0.0]])
+    d = geo.lineseg_dists(pts, a, b)
+    assert d.shape == (2, 2)
+    np.testing.assert_allclose(np.asarray(d[0]), [2.0, np.sqrt(5)], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d[1]), [3.0, 3.0], atol=1e-6)
+
+
+def test_inside_ellipses():
+    out = geo.inside_ellipses(
+        jnp.array([1.0, 2.0]),
+        cx=jnp.array([1.0, 1.0]), cy=jnp.array([2.0, 4.0]),
+        rx=jnp.array([1.0, 1.0]), ry=jnp.array([1.0, 1.0]),
+        ang=jnp.array([0.0, 0.0]))
+    np.testing.assert_allclose(np.asarray(out), [1.0, -3.0], atol=1e-3)
+
+
+def test_inside_cvx_polygon():
+    # Unit-square-ish polygon: half-spaces b - a0 x - a1 y > 0.
+    point = jnp.array([1.0, 2.0])
+    b1 = jnp.array([0.0, 2.0, 1.0, 3.0])
+    a0 = jnp.array([-1.0, 1.0, 0.0, 0.0])
+    a1 = jnp.array([0.0, 0.0, -1.0, 1.0])
+    out1 = geo.inside_cvx_polygon(point, b1, a0, a1)
+    assert float(out1) == pytest.approx(3.0, abs=1e-6)
+
+    b2 = jnp.array([0.0, 1.0, 0.0, 1.0])
+    out2 = geo.inside_cvx_polygon(point, b2, a0, a1)
+    assert float(out2) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_outside_cvx_polygon():
+    point = jnp.array([1.0, 2.0])
+    a0 = jnp.array([-1.0, 1.0, 0.0, 0.0])
+    a1 = jnp.array([0.0, 0.0, -1.0, 1.0])
+    out1 = geo.outside_cvx_polygon(point, jnp.array([0.0, 2.0, 1.0, 3.0]), a0, a1)
+    assert float(out1) == pytest.approx(0.0, abs=1e-6)
+    out2 = geo.outside_cvx_polygon(point, jnp.array([0.0, 1.0, 0.0, 1.0]), a0, a1)
+    assert float(out2) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_angle_between_vectors():
+    l1 = jnp.array([[0.0, 0.0], [1.0, 1.0]])
+    l2 = jnp.array([[0.0, 1.0], [0.0, 0.0]])
+    out = geo.angle_between_vectors(l1, l2)
+    assert float(out) * 180 / np.pi == pytest.approx(135.0, abs=1e-3)
+
+
+def test_convex_hull_ccw():
+    pts = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0.5, 0.5]])
+    hull = geo.convex_hull(pts)
+    assert hull.shape[0] == 4
+    # CCW orientation: positive shoelace area.
+    x, y = hull[:, 0], hull[:, 1]
+    area = 0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    assert area > 0
+
+
+def test_halfspace_representation_contains_interior():
+    poly = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])
+    b, a0, a1 = geo.polygon_halfspace_representation(poly)
+    b, a0, a1 = map(np.array, (b, a0, a1))
+    # Interior point: all residuals positive.
+    res_in = b - a0 * 1.0 - a1 * 1.0
+    assert np.all(res_in > 0)
+    # Exterior point: at least one residual negative.
+    res_out = b - a0 * 3.0 - a1 * 1.0
+    assert np.any(res_out < 0)
+    # On the centroid, residual equals 1 for every facet (reference scaling).
+    res_c = b - a0 * 1.0 - a1 * 1.0
+    np.testing.assert_allclose(res_c, np.ones_like(res_c), atol=1e-9)
+
+
+def test_inflate_convex_polygon():
+    square = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    grown = geo.inflate_convex_polygon(square, 0.5)
+    xs, ys = grown[:, 0], grown[:, 1]
+    assert xs.min() == pytest.approx(-0.5, abs=1e-9)
+    assert xs.max() == pytest.approx(1.5, abs=1e-9)
+    assert ys.min() == pytest.approx(-0.5, abs=1e-9)
+    shrunk = geo.inflate_convex_polygon(square, -0.25)
+    assert shrunk[:, 0].min() == pytest.approx(0.25, abs=1e-9)
+
+
+def test_point_in_polygon_and_distance():
+    square = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])
+    assert geo.point_in_polygon(np.array([1.0, 1.0]), square)
+    assert not geo.point_in_polygon(np.array([3.0, 1.0]), square)
+    assert geo.polygon_distance(np.array([1.0, 1.0]), square) == 0.0
+    assert geo.polygon_distance(np.array([3.0, 1.0]), square) == pytest.approx(1.0)

