@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched NMPC solves/s on one chip.
+
+Prints ONE JSON line:
+  {"metric": "nmpc_solves_per_s", "value": N, "unit": "solves/s",
+   "vs_baseline": R}
+
+The baseline is the reference stack's real-time budget: one OpEn/PANOC CPU
+solve per control step within `max_solver_time` = 100 ms (mpc_fast.yaml),
+i.e. 10 solves/s/robot.  `vs_baseline` = our solves/s divided by 10.
+
+Runs on whatever jax.devices() provides (the driver runs it on a real TPU
+chip).  Batch size/iters via BENCH_BATCH / BENCH_ITERS env vars.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dyobav_tpu.configs import (CircularRobotSpecification,
+                                    MpcConfiguration, SolverConfiguration)
+    from dyobav_tpu.ops.engine import build_mpc_solver
+    from dyobav_tpu.ops.params import empty_params, pack, tuning_vector
+
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+
+    cfg = MpcConfiguration()
+    robot = CircularRobotSpecification()
+    # Production solve budget: matches the receding-horizon operating point
+    # (warm starts keep later stages cheap).
+    scfg = SolverConfiguration(max_inner_iters=12, max_outer_iters=4,
+                               inner_iters_later=5)
+    bundle = build_mpc_solver(cfg, robot, scfg)
+
+    # Randomized scenario batch: straight references with a lateral obstacle.
+    rng = np.random.default_rng(0)
+    N = cfg.N_hor
+    zs = []
+    for b in range(batch):
+        p = empty_params(cfg)
+        x0 = rng.uniform(-5, 5)
+        y0 = rng.uniform(-5, 5)
+        heading = rng.uniform(-np.pi, np.pi)
+        ref = np.zeros((N, 3), np.float32)
+        ref[:, 0] = x0 + np.cos(heading) * 0.24 * np.arange(1, N + 1)
+        ref[:, 1] = y0 + np.sin(heading) * 0.24 * np.arange(1, N + 1)
+        ref[:, 2] = heading
+        ell = np.zeros((cfg.Ndynobs, N + 1, cfg.ndynobs), np.float32)
+        ox = x0 + np.cos(heading) * 2.2 - np.sin(heading) * 0.3
+        oy = y0 + np.sin(heading) * 2.2 + np.cos(heading) * 0.3
+        ell[0, :, :] = [ox, oy, 0.4, 0.4, 0.0, 1.0]
+        p = p._replace(
+            u_prev=jnp.array([1.2, 0.0]),
+            s0=jnp.array([x0, y0, heading], jnp.float32),
+            sN=jnp.asarray(ref[-1], jnp.float32),
+            q=jnp.asarray(tuning_vector(cfg), jnp.float32),
+            ref_states=jnp.asarray(ref),
+            ref_speed=jnp.full((N,), 1.2, jnp.float32),
+            dyn_obs=jnp.asarray(ell),
+            q_stc=jnp.full((N,), 10.0, jnp.float32),
+            q_dyn=jnp.full((N,), 10.0, jnp.float32),
+        )
+        zs.append(np.asarray(pack(p)))
+    Z = jnp.asarray(np.stack(zs))
+    U0 = jnp.tile(jnp.asarray(np.tile([1.2, 0.0], N), jnp.float32),
+                  (batch, 1))
+
+    # Warm-up (compile).
+    sol = bundle.solve_batch(Z, U0)
+    sol.u.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        sol = bundle.solve_batch(Z, U0)
+    sol.u.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    solves_per_s = batch * iters / elapsed
+    print(json.dumps({
+        "metric": "nmpc_solves_per_s",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / 10.0, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,192 @@
+"""Network manager: training loop, checkpointing, batched inference.
+
+The Flax/optax/orbax counterpart of the reference's `NetworkManager`
+(`pkg_motion_prediction/network_manager.py:21-243`): Adam(β=(0.99, 0.999),
+weight-decay 1e-4), exponential LR decay γ=0.99 per epoch, per-epoch
+evolving-WTA k_top schedule, NaN abort, early stopping on validation loss,
+per-epoch checkpoints, and a jitted no-grad `inference` returning (B, M, C).
+
+The train step is one jitted function (loss + grad + update); checkpoints
+use orbax (train state pytree), replacing `torch.save` state_dicts.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from ..configs import WtaNetConfiguration
+from . import losses
+from .wta_net import ConvMultiHypoNet
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+class NetworkManager:
+    def __init__(self, config: WtaNetConfiguration,
+                 net: ConvMultiHypoNet | None = None,
+                 loss: Dict | None = None, seed: int = 0, verbose: bool = True):
+        self.config = config
+        self.vb = verbose
+        self.M = config.num_hypos
+        self.lr = config.learning_rate
+        self.wr = config.weight_regularization
+        self.net = net or ConvMultiHypoNet(dim_out=config.dim_out,
+                                           num_hypos=config.num_hypos)
+        self.loss_cfg = loss or {}
+        self.seed = seed
+        self.state: Optional[TrainState] = None
+        self.Loss: List[float] = []
+        self.Val_loss: List[float] = []
+        self.complete = False
+
+    # ------------------------------------------------------------------ build
+    def build_network(self, input_shape=None):
+        """Initialize parameters (the reference's `build_Network`,
+        network_manager.py:79-94 — device placement is implicit in JAX)."""
+        input_shape = input_shape or (1, self.config.y_max_px,
+                                      self.config.x_max_px,
+                                      self.config.input_channel)
+        rng = jax.random.PRNGKey(self.seed)
+        variables = self.net.init(rng, jnp.zeros(input_shape, jnp.float32),
+                                  train=False)
+        # Epoch-boundary exponential decay is applied by scaling the base lr
+        # externally (optax schedules count steps, the reference counts
+        # epochs) — see `set_epoch_lr`.
+        self._lr_scale = jnp.array(1.0)
+        tx = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=self.lr, b1=0.99, b2=0.999, weight_decay=self.wr)
+        self.state = TrainState.create(
+            apply_fn=self.net.apply, params=variables["params"], tx=tx,
+            batch_stats=variables.get("batch_stats"))
+        return self.state
+
+    # alias for reference-API parity
+    build_Network = build_network
+
+    def set_epoch_lr(self, epoch: int, gamma: float = 0.99):
+        new_lr = self.lr * (gamma ** epoch)
+        self.state.opt_state.hyperparams["learning_rate"] = jnp.asarray(new_lr)
+
+    # ------------------------------------------------------------------ steps
+    @partial(jax.jit, static_argnames=("self", "k_top"))
+    def _train_step(self, state: TrainState, images, labels, k_top: int):
+        def loss_fn(params):
+            outputs, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"])
+            loss = losses.meta_loss(outputs, labels, losses.loss_mse,
+                                    k_top=k_top)
+            return loss, mutated["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_bs)
+        return state, loss
+
+    @partial(jax.jit, static_argnames=("self", "k_top"))
+    def _eval_step(self, state: TrainState, images, labels, k_top: int):
+        outputs = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False)
+        return losses.meta_loss(outputs, labels, losses.loss_mse, k_top=k_top)
+
+    def inference(self, input_data: np.ndarray) -> np.ndarray:
+        """Batched no-grad forward → (B, M, C) hypotheses
+        (network_manager.py:102-115)."""
+        out = self._infer_jit(self.state, jnp.asarray(input_data, jnp.float32))
+        return np.asarray(out)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _infer_jit(self, state: TrainState, images):
+        return state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False)
+
+    # ------------------------------------------------------------------ train
+    def train(self, data_handler, batch_size: int, epochs: int,
+              k_top_list: List[int] | None = None, val_after_batch: int = 20,
+              rasterize=None, checkpoint_dir: str | None = None):
+        """Epoch loop mirroring network_manager.train (:129-217): per-epoch
+        k_top, NaN abort, val tracking, early stopping, checkpoints."""
+        from .data import rasterize_batch
+        rasterize = rasterize or (lambda b: rasterize_batch(b, data_handler.ds))
+        k_top_list = k_top_list or losses.default_k_top_schedule(epochs, self.M)
+        if len(k_top_list) != epochs:
+            raise ValueError("k_top_list length must equal number of epochs.")
+        min_val = np.inf
+        stall = 0
+        for ep in range(epochs):
+            self.set_epoch_lr(ep)
+            k_top = int(k_top_list[ep])
+            n_batches = data_handler.batches_per_epoch()
+            for bi in range(n_batches):
+                images, labels = rasterize(data_handler.next_batch())
+                self.state, loss = self._train_step(
+                    self.state, jnp.asarray(images), jnp.asarray(labels),
+                    k_top)
+                loss = float(loss)
+                if np.isnan(loss):
+                    print("Loss is NaN — training aborted.")
+                    self.complete = False
+                    return
+                self.Loss.append(loss)
+                if (bi + 1) % val_after_batch == 0:
+                    self.Val_loss.append(self._validate(data_handler, rasterize,
+                                                       k_top))
+                if self.vb and bi % 10 == 0:
+                    print(f"\rEpoch {ep + 1}/{epochs} k={k_top} "
+                          f"batch {bi + 1}/{n_batches} loss={loss:.4f}   ",
+                          end="")
+            val = self._validate(data_handler, rasterize, k_top)
+            self.Val_loss.append(val)
+            if checkpoint_dir:
+                self.save_checkpoint(checkpoint_dir, ep)
+            if self.config.early_stopping > 0:
+                if val < min_val:
+                    min_val, stall = val, 0
+                else:
+                    stall += 1
+                    if stall >= self.config.early_stopping:
+                        print(f"\nEarly stopping at epoch {ep + 1}.")
+                        break
+        self.complete = True
+
+    def _validate(self, data_handler, rasterize, k_top: int) -> float:
+        vals = []
+        for batch in data_handler.val_batches(max_batches=2):
+            images, labels = rasterize(batch)
+            vals.append(float(self._eval_step(
+                self.state, jnp.asarray(images), jnp.asarray(labels), k_top)))
+        return float(np.mean(vals)) if vals else np.nan
+
+    # ------------------------------------------------------------ checkpoints
+    def save_checkpoint(self, directory: str, epoch: int | None = None):
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(os.path.join(
+            directory, f"model_ckp_{epoch}" if epoch is not None else "model"))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {"params": self.state.params,
+                          "batch_stats": self.state.batch_stats},
+                   force=True)
+        ckptr.wait_until_finished()
+
+    def load_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+        if self.state is None:
+            self.build_network()
+        ckptr = ocp.StandardCheckpointer()
+        target = {"params": self.state.params,
+                  "batch_stats": self.state.batch_stats}
+        restored = ckptr.restore(os.path.abspath(path), target)
+        self.state = self.state.replace(params=restored["params"],
+                                        batch_stats=restored["batch_stats"])

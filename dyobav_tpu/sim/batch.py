@@ -1,0 +1,258 @@
+"""Scenario-batched closed-loop simulation — the scale-out flagship.
+
+The reference evaluates scenarios one at a time through a Python loop
+(`main_eva.py` → `MainBase.run_once`).  Here the ENTIRE control loop —
+constant-velocity pedestrian prediction → dynamic-obstacle assembly →
+local-reference-window selection → warm-started NMPC solve → robot RK4 step
+→ pedestrian waypoint step → collision/termination bookkeeping — is one
+pure-JAX `step` function, `lax.scan`-rolled over time, `vmap`-ped over
+scenarios, and sharded across a `parallel.mesh` device mesh.  Thousands of
+randomized warehouse episodes execute as a single device program with
+metrics reduced on-device.
+
+Host-side code only *prepares* fixed-size scenario tensors (map halfspaces,
+reference trajectories, pedestrian waypoints) once per batch.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import (CircularRobotSpecification, MpcConfiguration,
+                       SolverConfiguration)
+from ..motion.models import unicycle_step
+from ..ops import costs
+from ..ops.newton import make_alm_newton_solver
+from ..ops.params import MpcParams, tuning_vector
+from ..utils import geometry as geo
+
+HUMAN_SIZE = 0.2
+FAR_COORD = 1.0e6     # padding sentinel for inert obstacle/waypoint slots
+
+
+class Scenario(NamedTuple):
+    """Fixed-size tensors describing one episode (batch by stacking)."""
+    robot_start: jnp.ndarray    # (3,)
+    goal: jnp.ndarray           # (3,)
+    ref_traj: jnp.ndarray       # (R, 3) padded constant-speed ref trajectory
+    ref_len: jnp.ndarray        # () true length of ref_traj
+    all_stc: jnp.ndarray        # (Mobs, nstcobs) halfspaces of ALL obstacles
+    all_polys: jnp.ndarray      # (Mobs, 4, 2) obstacle rectangles (FAR-padded)
+    human_starts: jnp.ndarray   # (H, 2)
+    human_paths: jnp.ndarray    # (H, W, 2) padded waypoints
+    human_path_len: jnp.ndarray # (H,)
+
+
+class SimState(NamedTuple):
+    robot: jnp.ndarray          # (3,)
+    humans: jnp.ndarray         # (H, 2)
+    human_wp: jnp.ndarray       # (H,) waypoint indices
+    human_hist: jnp.ndarray     # (5, H, 2) past-position ring (most recent last)
+    u_prev: jnp.ndarray         # (2,)
+    u_warm: jnp.ndarray         # (nu*N,) previous solution (warm start)
+    ref_idx: jnp.ndarray        # ()
+    done: jnp.ndarray           # () bool — reached goal
+    collided: jnp.ndarray       # () bool
+    min_clearance: jnp.ndarray  # ()
+    rng: jnp.ndarray            # PRNG key
+
+
+class BatchResult(NamedTuple):
+    success: jnp.ndarray        # (B,) reached goal without collision
+    collided: jnp.ndarray       # (B,)
+    min_clearance: jnp.ndarray  # (B,)
+    final_state: jnp.ndarray    # (B, 3)
+    steps_used: jnp.ndarray     # (B,)
+
+
+def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification,
+                    solver_cfg: SolverConfiguration | None = None,
+                    n_humans: int = 1, human_vmax: float = 1.5,
+                    human_stagger: float = 0.5, n_steps: int = 120,
+                    dtype=jnp.float32):
+    """Returns run(batch: Scenario[B], seed) -> BatchResult — fully jitted."""
+    scfg = solver_cfg or SolverConfiguration()
+    N = cfg.N_hor
+    ts = cfg.ts
+    base_speed = robot_cfg.lin_vel_max * 0.8      # 'work' mode
+    q_vec = jnp.asarray(tuning_vector(cfg), dtype)
+
+    u_lo, u_hi = costs.action_bounds(cfg, robot_cfg, dtype)
+    c_lo, c_hi = costs.acceleration_bounds(cfg, robot_cfg, dtype)
+
+    def solve_one(p: MpcParams, u0: jnp.ndarray):
+        def obj(u_flat):
+            br = costs.evaluate(u_flat, p, cfg, robot_cfg)
+            return br.objective, br.f1, br.f2
+        res = make_alm_newton_solver(obj, u_lo, u_hi, c_lo, c_hi, scfg)(u0)
+        return res.u
+
+    def ref_window(ref_traj, ref_len, ref_idx, state):
+        """jax port of the tracker's local-window selection
+        (trajectory_tracker.py:242-270)."""
+        lb = jnp.maximum(0, ref_idx - 1)
+        cand = jax.lax.dynamic_slice(ref_traj, (lb, 0), (6, 3))
+        cand_idx = lb + jnp.arange(6)
+        d = jnp.hypot(cand[:, 0] - state[0], cand[:, 1] - state[1])
+        d = jnp.where(cand_idx < ref_len, d, jnp.inf)
+        idx_next = lb + jnp.argmin(d)
+        start = jnp.minimum(idx_next, ref_traj.shape[0] - N)
+        window = jax.lax.dynamic_slice(ref_traj, (start, 0), (N, 3))
+        # Pad beyond the true end with the final reference state.
+        row_idx = start + jnp.arange(N)
+        last = ref_traj[ref_len - 1]
+        window = jnp.where((row_idx < ref_len)[:, None], window, last[None])
+        return window, idx_next
+
+    def human_step(humans, wp_idx, paths, path_len, rng):
+        goal = jnp.take_along_axis(
+            paths, wp_idx[:, None, None].clip(0, paths.shape[1] - 1), axis=1
+        )[:, 0, :]
+        dvec = goal - humans
+        dist = jnp.linalg.norm(dvec, axis=-1)
+        advance = (dist < human_vmax * ts) & (wp_idx < path_len - 1)
+        wp_idx = wp_idx + advance.astype(wp_idx.dtype)
+        active = wp_idx < path_len
+        dire = dvec / jnp.maximum(dist, 1e-9)[:, None]
+        rng, k1, k2 = jax.random.split(rng, 3)
+        # Stagger noise: reference uses choice(±1) * randint(0,10)/10 * s.
+        sign = jax.random.choice(k1, jnp.array([1.0, -1.0]), (humans.shape[0],))
+        mag = jax.random.randint(k2, (humans.shape[0],), 0, 11) / 10.0
+        stagger = (sign * mag * human_stagger)[:, None]
+        vel = dire * human_vmax + stagger
+        humans = jnp.where(active[:, None], humans + ts * vel, humans)
+        return humans, wp_idx, rng
+
+    def cv_predict(hist):
+        """Constant-velocity prediction from the 5-point history ring:
+        (5, H, 2) -> mu (N, H, 2), matching CvmpInterface semantics."""
+        vel = jnp.mean(hist[1:] - hist[:-1], axis=0)       # (H, 2)
+        steps = jnp.arange(1, N + 1, dtype=hist.dtype)[:, None, None]
+        return hist[-1][None] + vel[None] * steps
+
+    def closest_obstacles(sc: Scenario, state):
+        """Per-step closest-Nstcobs halfspace selection (the in-graph
+        counterpart of `MpcInterface.get_closest_n_stc_obstacles`,
+        mpc_interface.py:90-98)."""
+        a = sc.all_polys                                   # (M, 4, 2)
+        b = jnp.roll(a, -1, axis=1)
+        d = b - a
+        len_sq = jnp.sum(d * d, axis=-1) + 1e-16
+        rel = state[None, None, :2] - a
+        t = jnp.clip(jnp.sum(rel * d, axis=-1) / len_sq, 0.0, 1.0)
+        closest = a + t[..., None] * d
+        dist = jnp.min(jnp.linalg.norm(state[None, None, :2] - closest,
+                                       axis=-1), axis=1)   # (M,)
+        _, idx = jax.lax.top_k(-dist, cfg.Nstcobs)
+        return sc.all_stc[idx]
+
+    def assemble_params(sc: Scenario, st: SimState, window, mu_pred):
+        H = mu_pred.shape[1]
+        dyn = jnp.zeros((cfg.Ndynobs, N + 1, cfg.ndynobs), dtype)
+        # Step 0: current positions with HUMAN_SIZE std; steps 1..N: cvmp
+        # predictions with unit std (harness path semantics).
+        cur = jnp.concatenate([
+            st.humans, jnp.full((H, 2), HUMAN_SIZE, dtype),
+            jnp.zeros((H, 1), dtype), jnp.ones((H, 1), dtype)], axis=1)
+        pred = jnp.concatenate([
+            jnp.swapaxes(mu_pred, 0, 1), jnp.ones((H, N, 2), dtype),
+            jnp.zeros((H, N, 1), dtype), jnp.ones((H, N, 1), dtype)], axis=2)
+        ob = jnp.concatenate([cur[:, None, :], pred], axis=1)  # (H, N+1, 6)
+        dyn = dyn.at[:H].set(ob)
+        # Inactive padded slots mirror the harness default [0,0,0,0,0,1].
+        pad = jnp.zeros((cfg.Ndynobs - H, N + 1, cfg.ndynobs), dtype)
+        pad = pad.at[..., 5].set(1.0)
+        dyn = dyn.at[H:].set(pad)
+
+        return MpcParams(
+            u_prev=st.u_prev, s0=st.robot, sN=window[-1], q=q_vec,
+            ref_states=window,
+            ref_speed=jnp.full((N,), base_speed, dtype),
+            others0=jnp.zeros((cfg.Nother, cfg.ns), dtype),
+            others_pred=jnp.zeros((cfg.Nother, N, cfg.ns), dtype),
+            stc_obs=closest_obstacles(sc, st.robot), dyn_obs=dyn,
+            q_stc=jnp.full((N,), 10.0, dtype),
+            q_dyn=jnp.full((N,), 10.0, dtype),
+        )
+
+    def scenario_step(sc: Scenario, st: SimState):
+        window, ref_idx = ref_window(sc.ref_traj, sc.ref_len, st.ref_idx,
+                                     st.robot)
+        mu_pred = cv_predict(st.human_hist)
+        p = assemble_params(sc, st, window, mu_pred)
+        u = solve_one(p, st.u_warm)
+
+        action = u[:2]
+        action = jnp.where(action[0] < 0, jnp.zeros(2, dtype), action)
+        robot_new = unicycle_step(st.robot, action, ts)
+
+        humans_new, wp_new, rng = human_step(st.humans, st.human_wp,
+                                             sc.human_paths, sc.human_path_len,
+                                             st.rng)
+        hist_new = jnp.concatenate([st.human_hist[1:], humans_new[None]],
+                                   axis=0)
+
+        d_humans = jnp.min(jnp.linalg.norm(robot_new[:2] - humans_new, axis=-1))
+        collided_now = d_humans <= HUMAN_SIZE
+        dist_goal = jnp.linalg.norm(robot_new[:2] - sc.goal[:2])
+        done_now = (dist_goal < 0.5) & (jnp.abs(action[0]) < 0.4)
+
+        frozen = st.done | st.collided
+        keep = lambda new, old: jnp.where(frozen, old, new)
+        warm = jnp.concatenate([u[2:], u[-2:]])
+        st_new = SimState(
+            robot=keep(robot_new, st.robot),
+            humans=keep(humans_new, st.humans),
+            human_wp=keep(wp_new, st.human_wp),
+            human_hist=keep(hist_new, st.human_hist),
+            u_prev=keep(action, st.u_prev),
+            u_warm=keep(warm, st.u_warm),
+            ref_idx=keep(ref_idx, st.ref_idx),
+            done=st.done | (done_now & ~frozen),
+            collided=st.collided | (collided_now & ~frozen),
+            min_clearance=jnp.where(frozen, st.min_clearance,
+                                    jnp.minimum(st.min_clearance, d_humans)),
+            rng=rng,
+        )
+        return st_new
+
+    def run_scenario(sc: Scenario, seed) -> tuple:
+        H = sc.human_starts.shape[0]
+        st = SimState(
+            robot=sc.robot_start.astype(dtype),
+            humans=sc.human_starts.astype(dtype),
+            human_wp=jnp.zeros((H,), jnp.int32),
+            human_hist=jnp.broadcast_to(sc.human_starts.astype(dtype),
+                                        (5, H, 2)),
+            u_prev=jnp.zeros(2, dtype),
+            u_warm=jnp.tile(jnp.array([base_speed, 0.0], dtype), N),
+            ref_idx=jnp.array(0, jnp.int32),
+            done=jnp.array(False), collided=jnp.array(False),
+            min_clearance=jnp.array(jnp.inf, dtype),
+            rng=jax.random.PRNGKey(seed),
+        )
+
+        def body(st, k):
+            st2 = scenario_step(sc, st)
+            return st2, (st2.done | st2.collided)
+
+        st, done_hist = jax.lax.scan(body, st, jnp.arange(n_steps))
+        steps_used = jnp.sum(~done_hist)
+        return st, steps_used
+
+    @jax.jit
+    def run(batch: Scenario, seeds: jnp.ndarray) -> BatchResult:
+        st, steps = jax.vmap(run_scenario)(batch, seeds)
+        return BatchResult(
+            success=st.done & ~st.collided,
+            collided=st.collided,
+            min_clearance=st.min_clearance,
+            final_state=st.robot,
+            steps_used=steps,
+        )
+
+    return run

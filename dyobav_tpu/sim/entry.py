@@ -1,0 +1,60 @@
+"""Entry points: demo run and evaluation sweep.
+
+The counterparts of the reference's `src/main.py` and `src/main_eva.py`.
+
+    python -m dyobav_tpu.sim.entry demo --tracker mpc --predictor cvmp
+    python -m dyobav_tpu.sim.entry eval --runs 10 --tracker mpc --predictor kfmp
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+from .harness import MainBase
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dyobav_tpu.sim")
+    p.add_argument("command", choices=["demo", "eval"])
+    p.add_argument("--tracker", default="mpc", choices=["mpc", "dwa"])
+    p.add_argument("--predictor", default=None,
+                   choices=["mmp", "kfmp", "cvmp", "none"])
+    p.add_argument("--scenario", type=int, default=0)
+    p.add_argument("--runs", type=int, default=10)
+    p.add_argument("--steps", type=int, default=120)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--plot", action="store_true")
+    p.add_argument("--json", action="store_true", help="print metrics as JSON")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    predictor = None if args.predictor in (None, "none") else args.predictor
+    evaluation = args.command == "eval"
+
+    base = MainBase(max_num_run=args.runs if evaluation else 1,
+                    max_run_time_step=args.steps,
+                    scenario_index=args.scenario,
+                    evaluation=evaluation, seed=args.seed,
+                    verbose=args.verbose)
+    plotter = None
+    if args.plot and not evaluation:
+        from .plotter import Plotter
+        plotter = Plotter(base.config_mpc.ts, base.config_mpc.N_hor)
+        plotter.prepare_plots(base.occ_map, base.map_extent)
+    base.run(args.tracker, predictor, plotter=plotter)
+
+    if evaluation:
+        if args.json:
+            print(json.dumps(base.results_summary()))
+        else:
+            base.print_results()
+    if plotter is not None:
+        plotter.show()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

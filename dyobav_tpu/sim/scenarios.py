@@ -1,0 +1,149 @@
+"""Host-side scenario tensor preparation for the batched simulator.
+
+Builds fixed-size `sim.batch.Scenario` pytrees from the warehouse map:
+either the reference's three hardcoded scenes or randomized
+(start, goal, pedestrian-seed) sweeps over the navigation graph — the
+scenario-generation counterpart of `BASELINE.json` config #5.
+"""
+from __future__ import annotations
+
+import math
+import random
+from typing import List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import CircularRobotSpecification, MpcConfiguration
+from ..trackers.mpc_tracker import TrajectoryTracker
+from ..utils.geometry import polygon_halfspace_representation
+from .batch import FAR_COORD, Scenario
+from .harness import MainBase, scenario as preset_scenario
+
+
+def _halfspace_tensor(obstacles: List[List[tuple]], n_edges: int,
+                      max_obs: int) -> tuple:
+    """All obstacles → (max_obs, 3*n_edges) halfspaces + (max_obs, 4, 2)
+    polygons, FAR-padded so padded slots are inert."""
+    stc = np.zeros((max_obs, 3 * n_edges), np.float32)
+    polys = np.full((max_obs, 4, 2), FAR_COORD, np.float32)
+    for i, obs in enumerate(obstacles[:max_obs]):
+        arr = np.asarray(obs, np.float64)
+        b, a0, a1 = polygon_halfspace_representation(arr)
+        stc[i, :min(n_edges, len(b))] = b[:n_edges]
+        stc[i, n_edges:n_edges + min(n_edges, len(a0))] = a0[:n_edges]
+        stc[i, 2 * n_edges:2 * n_edges + min(n_edges, len(a1))] = a1[:n_edges]
+        if arr.shape[0] >= 4:
+            polys[i] = arr[:4]
+        else:
+            polys[i, :arr.shape[0]] = arr
+            polys[i, arr.shape[0]:] = arr[-1]
+    return stc, polys
+
+
+def build_scenario(base: MainBase, scenario_index: int | None = None,
+                   robot_path_nodes: Sequence[int] | None = None,
+                   human_path_nodes: Sequence[Sequence[int]] | None = None,
+                   robot_start: np.ndarray | None = None,
+                   human_starts: Sequence[np.ndarray] | None = None,
+                   ref_pad: int = 256, wp_pad: int = 8,
+                   max_obs: int = 64) -> Scenario:
+    """One Scenario from a MainBase-loaded map (world coordinates)."""
+    cfg = base.config_mpc
+    robot_cfg = base.config_robot
+    if scenario_index is not None:
+        h_starts_px, h_paths, r_start_px, r_path = preset_scenario(scenario_index)
+        robot_start = np.array(base.ct2real(r_start_px))
+        human_starts = [np.array(base.ct2real(h))[:2] for h in h_starts_px]
+        robot_path_nodes = r_path
+        human_path_nodes = h_paths
+
+    robot_path = [tuple(base.ct2real(list(x)))
+                  for x in base.net_graph.return_given_nodelist(robot_path_nodes)]
+    human_paths = [[tuple(base.ct2real(list(x)))
+                    for x in base.net_graph.return_given_nodelist(p)]
+                   for p in human_path_nodes]
+
+    base_speed = robot_cfg.lin_vel_max * 0.8
+    ref = TrajectoryTracker.get_ref_traj(cfg.ts, robot_path, robot_start,
+                                         base_speed)
+    ref_arr = np.zeros((ref_pad, 3), np.float32)
+    n_ref = min(len(ref), ref_pad)
+    ref_arr[:n_ref] = np.asarray(ref[:n_ref], np.float32)
+    ref_arr[n_ref:] = ref_arr[n_ref - 1]
+
+    stc, polys = _halfspace_tensor(base.geo_map.processed_obstacle_list,
+                                   cfg.nstcobs // 3, max_obs)
+
+    H = len(human_starts)
+    paths_arr = np.full((H, wp_pad, 2), FAR_COORD, np.float32)
+    path_len = np.zeros((H,), np.int32)
+    for i, path in enumerate(human_paths):
+        L = min(len(path), wp_pad)
+        paths_arr[i, :L] = np.asarray(path[:L], np.float32)
+        paths_arr[i, L:] = paths_arr[i, L - 1]
+        path_len[i] = L
+
+    goal = np.array([robot_path[-1][0], robot_path[-1][1], 0.0], np.float32)
+    return Scenario(
+        robot_start=jnp.asarray(robot_start, jnp.float32),
+        goal=jnp.asarray(goal),
+        ref_traj=jnp.asarray(ref_arr), ref_len=jnp.asarray(n_ref, jnp.int32),
+        all_stc=jnp.asarray(stc), all_polys=jnp.asarray(polys),
+        human_starts=jnp.asarray(np.asarray(human_starts, np.float32)),
+        human_paths=jnp.asarray(paths_arr),
+        human_path_len=jnp.asarray(path_len),
+    )
+
+
+def random_scenarios(base: MainBase, n: int, n_humans: int = 1,
+                     seed: int = 0, min_path_nodes: int = 2,
+                     walk_len: int = 3, **kw) -> Scenario:
+    """A batch of randomized (start, goal, pedestrian) scenarios stacked
+    into one Scenario pytree with a leading batch axis."""
+    rng = random.Random(seed)
+    nodes = list(base.net_graph.nodes)
+    scenarios = []
+    for _ in range(n):
+        r_nodes = []
+        while len(r_nodes) < min_path_nodes + 1:
+            start_node = rng.choice(nodes)
+            walk = base.net_graph.return_random_nodelist(start_node, walk_len,
+                                                         rng=rng)
+            r_nodes = walk
+        # Node lists are coordinates already; recover ids by walking again —
+        # simpler: sample id paths directly.
+        r_ids = [start_node]
+        while len(r_ids) <= walk_len:
+            nbrs = [x for x in base.net_graph.adj[r_ids[-1]] if x not in r_ids]
+            if not nbrs:
+                break
+            r_ids.append(rng.choice(nbrs))
+        if len(r_ids) < 2:
+            continue
+        h_paths = []
+        h_starts = []
+        for _ in range(n_humans):
+            h_ids = [rng.choice(nodes)]
+            while len(h_ids) <= walk_len:
+                nbrs = [x for x in base.net_graph.adj[h_ids[-1]]
+                        if x not in h_ids]
+                if not nbrs:
+                    break
+                h_ids.append(rng.choice(nbrs))
+            h_paths.append(h_ids)
+            x, y = base.net_graph.get_node_coord(h_ids[0])
+            h_starts.append(np.array(base.ct2real([x, y]))[:2])
+        sx, sy = base.net_graph.get_node_coord(r_ids[0])
+        start_world = np.array(base.ct2real([sx, sy]) + [0.0])
+        # Face the first path segment.
+        n1 = np.array(base.ct2real(list(base.net_graph.get_node_coord(r_ids[1]))))
+        start_world[2] = math.atan2(n1[1] - start_world[1],
+                                    n1[0] - start_world[0])
+        scenarios.append(build_scenario(
+            base, robot_path_nodes=r_ids[1:], human_path_nodes=h_paths,
+            robot_start=start_world, human_starts=h_starts, **kw))
+    if len(scenarios) < n:   # top up by repeating (rare)
+        scenarios += scenarios[: n - len(scenarios)]
+    return Scenario(*[jnp.stack([s[i] for s in scenarios])
+                      for i in range(len(scenarios[0]))])

@@ -1,0 +1,183 @@
+"""Predictor stack tests: network, losses, heatmaps, data, CGF clustering."""
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dyobav_tpu.configs import WtaNetConfiguration
+from dyobav_tpu.models import losses
+from dyobav_tpu.models.heatmap import gaussian_map, pad_traj, traj_to_input_stack
+from dyobav_tpu.models.manager import NetworkManager
+from dyobav_tpu.models.wta_net import ConvMultiHypoNet
+from dyobav_tpu.ops.cluster import (cluster_gaussian_fit, fit_cluster2gaussian,
+                                    fit_dbscan_np)
+
+REF_SRC = "/root/reference/src"
+
+
+def small_config(**kw):
+    base = dict(x_max_px=64, y_max_px=64, input_channel=7, num_hypos=20,
+                dim_out=2, obsv_len=5, batch_size=4, epoch=1)
+    base.update(kw)
+    return WtaNetConfiguration(**base)
+
+
+def test_net_output_shape():
+    net = ConvMultiHypoNet(dim_out=2, num_hypos=20)
+    x = jnp.zeros((2, 64, 64, 7))
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    out = net.apply(variables, x, train=False)
+    assert out.shape == (2, 20, 2)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_SRC), reason="reference absent")
+def test_net_param_count_matches_reference():
+    """Same architecture ⇒ same trainable parameter count as the torch net."""
+    import torch
+    sys.path.insert(0, REF_SRC)
+    try:
+        from pkg_motion_prediction.net_module.net import (
+            ConvMultiHypoNet as TorchNet)
+        tnet = TorchNet(input_channel=7, dim_output=2, fc_input=3200,
+                        num_components=20)
+        torch_params = sum(p.numel() for p in tnet.parameters()
+                           if p.requires_grad)
+    finally:
+        sys.path.remove(REF_SRC)
+
+    net = ConvMultiHypoNet(dim_out=2, num_hypos=20)
+    # 293x330 input reproduces fc_input=3200 (128 channels x 5 x 5).
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 293, 330, 7)), train=False)
+    flax_params = sum(int(np.prod(p.shape))
+                     for p in jax.tree.leaves(variables["params"]))
+    assert flax_params == torch_params, (flax_params, torch_params)
+
+
+def test_meta_loss_wta_min():
+    hypos = jnp.array([[[0.0, 0.0], [1.0, 1.0]],
+                       [[2.0, 2.0], [0.5, 0.5]]])     # (B=2, M=2, C=2)
+    labels = jnp.array([[0.0, 0.0], [0.5, 0.5]])
+    # loss_mse includes /B: per-hypo D = sum_sq/2.
+    loss = losses.meta_loss(hypos, labels, losses.loss_mse, k_top=1)
+    assert float(loss) == pytest.approx(0.0, abs=1e-9)
+    # Relaxed adds a fraction of the non-winning hypotheses' loss.
+    relaxed = losses.meta_loss(hypos, labels, losses.loss_mse, k_top=1,
+                               relax=0.1)
+    assert float(relaxed) > 0
+
+
+def test_meta_loss_topk():
+    hypos = jnp.array([[[0.0, 0.0], [1.0, 0.0], [5.0, 0.0]]])  # (1, 3, 2)
+    labels = jnp.array([[0.0, 0.0]])
+    # D (with /B=1): [0, 1, 25]; top-2 smallest mean = 0.5
+    loss = losses.meta_loss(hypos, labels, losses.loss_mse, k_top=2)
+    assert float(loss) == pytest.approx(0.5, rel=1e-6)
+
+
+def test_gaussian_heatmap_matches_reference_formula():
+    """np_gaudist_map (utils_np.py:76-99) with rho=0, normalized max 1."""
+    H = W = 32
+    center = jnp.array([10.0, 20.0])
+    hm = np.asarray(gaussian_map(center, H, W, sigma=5.0))
+    assert hm.shape == (H, W)
+    assert hm[20, 10] == pytest.approx(1.0)
+    # Independent numpy evaluation.
+    x, y = np.meshgrid(np.arange(W), np.arange(H))
+    z = np.exp(-((x - 10.0) ** 2 + (y - 20.0) ** 2) / (2 * 5.0 ** 2))
+    np.testing.assert_allclose(hm, z / z.max(), rtol=1e-5)
+
+
+def test_traj_to_input_stack():
+    traj = pad_traj([[1.0, 2.0], [3.0, 4.0]], obsv_len=5)
+    assert len(traj) == 5 and traj[-1] == [3.0, 4.0]
+    stack = traj_to_input_stack(jnp.asarray(traj, jnp.float32),
+                                jnp.ones((16, 16), jnp.float32),
+                                jnp.arange(1.0, 4.0))
+    assert stack.shape == (3, 16, 16, 7)
+    np.testing.assert_allclose(np.asarray(stack[2, :, :, 6]), 3.0)  # T channel
+    np.testing.assert_allclose(np.asarray(stack[0, :, :, 5]), 1.0)  # map chan
+
+
+def test_dbscan_matches_sklearn():
+    from sklearn.cluster import DBSCAN
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        pts = np.concatenate([
+            rng.normal((0, 0), 0.3, (8, 2)),
+            rng.normal((5, 5), 0.3, (9, 2)),
+            [[20.0, 20.0]],                       # singleton noise
+        ])
+        ours = fit_dbscan_np(pts, eps=1.0, min_sample=2)
+        sk = DBSCAN(eps=1.0, min_samples=2).fit(pts)
+        n_sk = len(set(sk.labels_)) - (1 if -1 in sk.labels_ else 0)
+        assert len(ours) == n_sk
+        our_sizes = sorted(len(c) for c in ours)
+        sk_sizes = sorted(int(np.sum(sk.labels_ == i)) for i in range(n_sk))
+        assert our_sizes == sk_sizes
+
+
+def test_on_device_cgf_matches_host():
+    rng = np.random.default_rng(1)
+    pts = np.concatenate([rng.normal((0, 0), 0.3, (10, 2)),
+                          rng.normal((6, 1), 0.3, (9, 2)),
+                          [[30.0, 30.0]]]).astype(np.float32)
+    mu, std, alpha = cluster_gaussian_fit(jnp.asarray(pts), eps=1.0,
+                                          enlarge=2.0)
+    host_clusters = fit_dbscan_np(pts, 1.0, 2)
+    host_mu, host_std = fit_cluster2gaussian(host_clusters, enlarge=2)
+    active = np.asarray(alpha) > 0
+    assert active.sum() == len(host_clusters) == 2
+    got_mu = sorted(np.asarray(mu)[active].tolist())
+    want_mu = sorted(np.asarray(host_mu).tolist())
+    np.testing.assert_allclose(got_mu, want_mu, atol=1e-4)
+    got_std = sorted(np.asarray(std)[active].tolist())
+    want_std = sorted(np.asarray(host_std).tolist())
+    np.testing.assert_allclose(got_std, want_std, atol=1e-4)
+
+
+def test_manager_train_smoke(tmp_path):
+    """Tiny synthetic training run: loss decreases, checkpoint roundtrips."""
+    cfg = small_config(learning_rate=1e-3)
+    mgr = NetworkManager(cfg, verbose=False)
+    mgr.build_network(input_shape=(1, 64, 64, 7))
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(8, 64, 64, 7)).astype(np.float32)
+    labels = np.tile([[5.0, 7.0]], (8, 1)).astype(np.float32)
+
+    losses_hist = []
+    for step in range(30):
+        mgr.state, loss = mgr._train_step(mgr.state, jnp.asarray(images),
+                                          jnp.asarray(labels), 1)
+        losses_hist.append(float(loss))
+    assert losses_hist[-1] < losses_hist[0] * 0.9
+
+    out = mgr.inference(images)
+    assert out.shape == (8, 20, 2)
+
+    ckpt = tmp_path / "ckpt"
+    mgr.save_checkpoint(str(ckpt), epoch=0)
+    mgr2 = NetworkManager(cfg, verbose=False)
+    mgr2.build_network(input_shape=(1, 64, 64, 7))
+    mgr2.load_checkpoint(str(ckpt / "model_ckp_0"))
+    np.testing.assert_allclose(mgr2.inference(images), out, atol=1e-6)
+
+
+DATA_TRAIN = "/root/reference/data/WSD_1t20_train"
+
+
+@pytest.mark.skipif(not os.path.exists(DATA_TRAIN), reason="data absent")
+def test_dataset_index():
+    from dyobav_tpu.models.data import DataHandler, WsdDataset
+    ds = WsdDataset(DATA_TRAIN, obsv_len=5, pred_offset_max=20)
+    assert len(ds) > 1000
+    s = ds.samples[0]
+    assert s.traj.shape == (5, 2) and 1 <= s.offset <= 20
+    dh = DataHandler(ds, batch_size=4, seed=0)
+    batch = dh.next_batch()
+    assert batch["traj"].shape == (4, 5, 2)
+    assert ds.image_shape() == (293, 330)

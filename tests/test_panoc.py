@@ -22,6 +22,17 @@ CFG = MpcConfiguration()
 ROBOT = CircularRobotSpecification()
 SCFG = SolverConfiguration()
 
+_BUNDLE = None
+
+
+def shared_bundle():
+    """One compiled solver bundle for the whole module (CPU compiles of the
+    Hessian-based solve take ~90 s; sharing keeps the suite tractable)."""
+    global _BUNDLE
+    if _BUNDLE is None:
+        _BUNDLE = build_mpc_solver(CFG, ROBOT)
+    return _BUNDLE
+
 
 def test_box_qp_exact():
     """min ||u - t||² over box: solution is clip(t)."""
@@ -93,7 +104,7 @@ def _scene(obstacle: bool):
 
 
 def test_mpc_solve_tracks_reference():
-    bundle = build_mpc_solver(CFG, ROBOT)
+    bundle = shared_bundle()
     z = pack(_scene(obstacle=False))
     u0 = jnp.zeros(bundle.n_decision)
     sol = bundle.solve(z, u0)
@@ -115,7 +126,7 @@ def test_mpc_solve_tracks_reference():
 
 
 def test_mpc_solve_avoids_obstacle():
-    bundle = build_mpc_solver(CFG, ROBOT)
+    bundle = shared_bundle()
     z = pack(_scene(obstacle=True))
     sol = bundle.solve(z, jnp.zeros(bundle.n_decision))
     states = np.asarray(sol.pred_states)
@@ -164,7 +175,7 @@ def test_parity_with_scipy_slsqp():
                    bounds=list(zip(lo, hi)), constraints=cons,
                    options={"maxiter": 300, "ftol": 1e-10})
 
-    bundle = build_mpc_solver(CFG, ROBOT)
+    bundle = shared_bundle()
     sol = bundle.solve(z, jnp.zeros(40))
 
     # Our solution should be at least as good (SLSQP can stall on hinges).
