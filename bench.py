@@ -24,6 +24,16 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: the remote-TPU first compile of the
+    # batched solver is minutes; cache it across runs.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/root/.cache/jax_comp")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from dyobav_tpu.configs import (CircularRobotSpecification,
                                     MpcConfiguration, SolverConfiguration)

@@ -45,6 +45,12 @@ class _YamlConfig:
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
 
+    def save_yaml(self, yaml_path: str) -> None:
+        """Write the config back out as YAML (the counterpart of the
+        reference's `utils_yaml` config generator)."""
+        with open(yaml_path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
 
 @dataclass(frozen=True)
 class WarehouseSimConfiguration(_YamlConfig):

@@ -13,15 +13,23 @@ from ..maps.pgm import process_map_image, read_pgm
 
 
 class MapInterface:
-    def __init__(self, raw_map_dir: str):
+    def __init__(self, raw_map_dir: str, use_native: bool = True):
         """raw_map_dir: directory holding the map files (absolute, or
-        relative to the current working directory)."""
+        relative to the current working directory).  When the C++
+        map-compiler library is built (`native/build.sh`), the
+        threshold/border pass runs natively; numpy otherwise."""
         self.raw_map_dir = raw_map_dir
+        self.use_native = use_native
 
     def get_occ_map_from_pgm(self, pgm_fname: str, occupancy_threshold: int,
                              inversed_pixel: bool = False) -> OccupancyMap:
         image = read_pgm(os.path.join(self.raw_map_dir, pgm_fname))
-        processed = process_map_image(image, inversed_pixel=inversed_pixel)
+        processed = None
+        if self.use_native:
+            from .. import native
+            processed = native.process_map(image, inversed=inversed_pixel)
+        if processed is None:
+            processed = process_map_image(image, inversed_pixel=inversed_pixel)
         return OccupancyMap(processed, occupancy_threshold)
 
     def cvt_occ2geo(self, occ_map: OccupancyMap, inflate_margin: float) -> GeometricMap:

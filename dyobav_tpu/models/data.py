@@ -131,26 +131,24 @@ class DataHandler:
 
 
 def rasterize_batch(batch: dict, ds: WsdDataset) -> Tuple[np.ndarray, np.ndarray]:
-    """Host helper: batch records → (B, H, W, 7) inputs + (B, 2) labels.
+    """Batch records → (B, H, W, 7) inputs + (B, 2) labels.
 
-    Rasterization itself runs on-device (jitted) per sample group sharing a
-    map; with a single warehouse map this is one call.
+    One jitted on-device call per map group (with a single warehouse map,
+    one call for the whole batch).
     """
     import jax.numpy as jnp
-    from .heatmap import traj_to_input_stack
+    from .heatmap import traj_to_input_batch
 
     videos = batch["video"]
     H, W = ds.image_shape()
     out = np.zeros((len(videos), H, W, ds.obsv_len + 2), np.float32)
-    # Group by video so each group broadcasts one map.
     by_video: Dict[str, List[int]] = {}
     for i, v in enumerate(videos):
         by_video.setdefault(v, []).append(i)
     for video, idxs in by_video.items():
         ref = jnp.asarray(ds.ref_map(video))
-        for i in idxs:
-            stack = traj_to_input_stack(
-                jnp.asarray(batch["traj"][i]), ref,
-                jnp.asarray([batch["offset"][i]]), obsv_len=ds.obsv_len)
-            out[i] = np.asarray(stack[0])
+        stack = traj_to_input_batch(
+            jnp.asarray(batch["traj"][idxs]), ref,
+            jnp.asarray(batch["offset"][idxs]), obsv_len=ds.obsv_len)
+        out[np.asarray(idxs)] = np.asarray(stack)
     return out, batch["label"]

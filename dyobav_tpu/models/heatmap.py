@@ -56,6 +56,28 @@ def traj_to_input_stack(traj: jnp.ndarray, ref_map: jnp.ndarray,
     return jnp.concatenate([base, t_chan], axis=-1)
 
 
+@partial(jax.jit, static_argnames=("obsv_len",))
+def traj_to_input_batch(trajs: jnp.ndarray, ref_map: jnp.ndarray,
+                        offsets: jnp.ndarray, sigma: float = 20.0,
+                        obsv_len: int = 5) -> jnp.ndarray:
+    """Training-batch rasterization: B independent (traj, offset) samples
+    sharing one map → (B, H, W, obsv_len + 2).
+
+    trajs: (B, obsv_len, 2); offsets: (B,).
+    """
+    H, W = ref_map.shape
+
+    def one(traj, offset):
+        heat = jax.vmap(lambda c: gaussian_map(c, H, W, sigma))(traj)
+        base = jnp.concatenate([jnp.moveaxis(heat, 0, -1),
+                                ref_map[:, :, None].astype(jnp.float32),
+                                jnp.full((H, W, 1), offset, jnp.float32)],
+                               axis=-1)
+        return base
+
+    return jax.vmap(one)(trajs, offsets.astype(jnp.float32))
+
+
 def pad_traj(traj, obsv_len: int = 5):
     """Repeat-first / crop-last so exactly `obsv_len` positions remain
     (pre_load.traj_to_input:120-122 semantics: pad with the last point,

@@ -1,0 +1,79 @@
+"""SWTA predictor training entry point.
+
+The counterpart of the reference's `pre_load.main_train` (pre_load.py:71-89):
+config → dataset → manager → train with the evolving-WTA k_top schedule →
+save final checkpoint + loss profile.
+
+    python -m dyobav_tpu.models.train --data data/WSD_1t20_train \\
+        --epochs 20 --out Model/wsd_1t20
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from ..configs import WtaNetConfiguration
+from . import losses
+from .data import DataHandler, WsdDataset
+from .manager import NetworkManager
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="data/WSD_1t20_train")
+    ap.add_argument("--out", default="Model/wsd_1t20")
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--batch-size", type=int, default=20)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--max-samples", type=int, default=0,
+                    help="subsample the index for quick runs (0 = all)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--steps-per-epoch", type=int, default=0,
+                    help="cap batches per epoch (0 = full epoch)")
+    args = ap.parse_args(argv)
+
+    ds = WsdDataset(args.data)
+    if args.max_samples and len(ds) > args.max_samples:
+        rng = np.random.default_rng(args.seed)
+        keep = rng.choice(len(ds), args.max_samples, replace=False)
+        ds.samples = [ds.samples[i] for i in keep]
+    H, W = ds.image_shape()
+    print(f"Dataset: {len(ds)} samples, image {H}x{W}")
+
+    cfg = WtaNetConfiguration(epoch=args.epochs, batch_size=args.batch_size,
+                              learning_rate=args.lr, x_max_px=W, y_max_px=H)
+    dh = DataHandler(ds, batch_size=args.batch_size, seed=args.seed)
+    if args.steps_per_epoch:
+        real_bpe = dh.batches_per_epoch
+        dh.batches_per_epoch = lambda: min(args.steps_per_epoch, real_bpe())
+
+    mgr = NetworkManager(cfg, seed=args.seed)
+    mgr.build_network(input_shape=(1, H, W, cfg.input_channel))
+    n_params = sum(int(np.prod(p.shape)) for p in
+                   __import__("jax").tree.leaves(mgr.state.params))
+    print(f"Model: {n_params} parameters")
+
+    k_top_list = losses.default_k_top_schedule(args.epochs, cfg.num_hypos)
+    t0 = time.time()
+    mgr.train(dh, args.batch_size, args.epochs, k_top_list=k_top_list,
+              checkpoint_dir=os.path.dirname(args.out) or ".")
+    hours = (time.time() - t0) / 3600
+    print(f"\nTraining done: {n_params} parameters. Cost time: {hours:.4f}h.")
+
+    if mgr.complete:
+        mgr.save_checkpoint(os.path.dirname(args.out) or ".",
+                            epoch=None)
+        final = os.path.join(os.path.dirname(args.out) or ".", "model")
+        os.rename(final, args.out) if os.path.exists(final) else None
+        with open(args.out + "_profile.json", "w") as f:
+            json.dump({"loss": mgr.Loss, "val_loss": mgr.Val_loss}, f)
+        print(f"Saved checkpoint to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -35,6 +35,9 @@ from ..configs import CircularRobotSpecification, MpcConfiguration
 from ..motion.models import unicycle_step
 from .params import MpcParams
 
+import os
+_ROLLOUT_UNROLL = os.environ.get("DYOBAV_ROLLOUT_UNROLL", "1") != "0"
+
 
 def rollout_states(s0: jnp.ndarray, u: jnp.ndarray, ts: float) -> jnp.ndarray:
     """Roll the unicycle model over the horizon.
@@ -48,7 +51,11 @@ def rollout_states(s0: jnp.ndarray, u: jnp.ndarray, ts: float) -> jnp.ndarray:
         s_next = unicycle_step(s, a, ts)
         return s_next, s_next
 
-    _, states = jax.lax.scan(step, s0, u)
+    # Full unroll: the horizon is short (N=20) and each step is tiny, so a
+    # While loop would dominate; unrolled, XLA fuses the whole rollout.
+    # (DYOBAV_ROLLOUT_UNROLL=0 reverts to a While loop — smaller HLO,
+    # slower steady state; used for compile-time experiments.)
+    _, states = jax.lax.scan(step, s0, u, unroll=_ROLLOUT_UNROLL)
     return states
 
 

@@ -74,7 +74,7 @@ def build_dwa_engine(cfg: DwaConfiguration, robot: CircularRobotSpecification,
         def step(s, _):
             s2 = unicycle_step(s, u, ts)
             return s2, s2
-        _, traj = jax.lax.scan(step, state, None, length=N)
+        _, traj = jax.lax.scan(step, state, None, length=N, unroll=True)
         return jnp.concatenate([state[None], traj], axis=0)   # (N+1, 3)
 
     def seg_dists(points, a, b):

@@ -272,6 +272,13 @@ class TrajectoryTracker:
             exit_ok = bool(sol.exit_ok)
         solver_time = (timeit.default_timer() - t0) * 1000.0  # ms
 
+        # Failure path: the in-graph solver cannot raise, but a NaN solution
+        # is the moral equivalent of the reference's RuntimeError branch
+        # (trajectory_tracker.py:318-325) — report failure the same way.
+        if not np.all(np.isfinite(u_flat)):
+            print("Fatal: Cannot run solver (non-finite solution).")
+            return -1
+
         self._last_u = u_flat
         take_steps = self.config.action_steps
         taken_states = [

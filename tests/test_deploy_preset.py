@@ -1,0 +1,60 @@
+"""Deployment node + preset map tests."""
+import numpy as np
+
+from dyobav_tpu.maps.geometric import GeometricMap
+from dyobav_tpu.maps.preset import PRESETS, get_preset
+from dyobav_tpu.predictors.cvmp import CvmpInterface
+from dyobav_tpu.sim.deploy import LocalTransport, NavigationNode
+
+
+def test_preset_maps_build_geometric():
+    for name in PRESETS:
+        boundary, obstacles = get_preset(name)
+        geo = GeometricMap(boundary, obstacles or [[(1, 1), (1.2, 1),
+                                                    (1.2, 1.2), (1, 1.2)]],
+                           inflate_margin=0.2)
+        assert len(geo.processed_obstacle_list) >= 1
+
+
+class _StubTracker:
+    """Records run_step calls; returns a constant forward action."""
+
+    def __init__(self):
+        self.calls = []
+
+    def set_current_state(self, state):
+        self.state = state
+
+    def run_step(self, mode, dyn, map_updated=True):
+        self.calls.append((mode, dyn))
+        actions = [np.array([0.7, 0.1])]
+        pred = [np.array([1.0, 2.0, 0.0])] * 20
+        return actions, pred, 3.5, [], np.zeros((20, 3))
+
+
+def test_navigation_node_loop():
+    transport = LocalTransport()
+    node = NavigationNode(transport, _StubTracker(),
+                          predictor=CvmpInterface(), n_hor=20)
+    # No pose yet -> no-op.
+    assert node.control_tick() is None
+
+    transport.publish("robot_pose", {"x": 1.0, "y": 2.0, "theta": 0.0})
+    for t in range(3):
+        transport.publish("actor_poses",
+                          {"poses": {"a1": (5.0 + 0.3 * t, 2.0)}})
+    action = node.control_tick(mode="super")
+    assert action is not None
+    assert transport.published["cmd_vel"][-1] == {"v": 0.7, "w": 0.1}
+    mode, dyn = node.tracker.calls[-1]
+    assert mode == "super"
+    # Dynamic obstacles assembled: 1 actor, N_hor+1 steps, 6 params each.
+    assert len(dyn) == 1 and len(dyn[0]) == 21 and len(dyn[0][0]) == 6
+    # Prediction extrapolates the actor's +x motion.
+    assert dyn[0][5][0] > dyn[0][1][0]
+    # Backward-velocity safety override.
+    node.tracker.run_step = lambda *a, **k: ([np.array([-0.5, 0.0])],
+                                             [np.zeros(3)] * 20, 0.0, [],
+                                             np.zeros((20, 3)))
+    action = node.control_tick()
+    assert action[0] == 0.0 and action[1] == 0.0

@@ -142,23 +142,21 @@ def test_parity_with_scipy_slsqp():
     p = _scene(obstacle=True)
     z = pack(p)
 
-    def f_np(u):
-        br = costs.evaluate(jnp.asarray(u, jnp.float32), p, CFG, ROBOT)
-        return float(br.objective)
-
+    eval_jit = jax.jit(lambda u: costs.evaluate(u, p, CFG, ROBOT))
     grad_fn = jax.jit(jax.grad(
         lambda u: costs.evaluate(u, p, CFG, ROBOT).objective))
+
+    def f_np(u):
+        return float(eval_jit(jnp.asarray(u, jnp.float32)).objective)
 
     def g_np(u):
         return np.asarray(grad_fn(jnp.asarray(u, jnp.float32)), np.float64)
 
     def f1_np(u):
-        return np.asarray(
-            costs.evaluate(jnp.asarray(u, jnp.float32), p, CFG, ROBOT).f1)
+        return np.asarray(eval_jit(jnp.asarray(u, jnp.float32)).f1)
 
     def f2_np(u):
-        return np.asarray(
-            costs.evaluate(jnp.asarray(u, jnp.float32), p, CFG, ROBOT).f2)
+        return np.asarray(eval_jit(jnp.asarray(u, jnp.float32)).f2)
 
     lo = np.tile([ROBOT.lin_vel_min, -ROBOT.ang_vel_max], CFG.N_hor)
     hi = np.tile([ROBOT.lin_vel_max, ROBOT.ang_vel_max], CFG.N_hor)
