@@ -88,6 +88,25 @@ def main() -> int:
     sol = bundle.solve_batch(Z, U0)
     sol.u.block_until_ready()
 
+    mode = os.environ.get("BENCH_MODE", "throughput")
+    if mode == "latency":
+        # p95 single-solve latency (control-step budget check: 0.2 s/step).
+        lat = []
+        for _ in range(max(iters, 20)):
+            t0 = time.perf_counter()
+            s1 = bundle.solve(Z[0], U0[0])
+            s1.u.block_until_ready()
+            lat.append(time.perf_counter() - t0)
+        lat.sort()
+        p95 = lat[int(0.95 * (len(lat) - 1))]
+        print(json.dumps({
+            "metric": "nmpc_solve_latency_p95",
+            "value": round(p95 * 1000, 2),
+            "unit": "ms",
+            "vs_baseline": round(100.0 / (p95 * 1000), 1),  # vs 100 ms budget
+        }))
+        return 0
+
     t0 = time.perf_counter()
     for _ in range(iters):
         sol = bundle.solve_batch(Z, U0)

@@ -7,9 +7,53 @@ frame-to-frame transforms (map_tf.py:46-79).
 from __future__ import annotations
 
 import copy
-from typing import Union
+import threading
+from enum import Enum
+from typing import Tuple, Union
 
 import numpy as np
+
+
+class FrameType(Enum):
+    WORLD = 0
+    LOCAL = 1
+    UNKNOWN = 2
+
+
+class Frame:
+    """2-D orthogonal coordinate frame: origin + angle (map_tf.py:15-29)."""
+
+    def __init__(self, origin: Tuple[float, float] = (0.0, 0.0),
+                 angle: float = 0.0):
+        self.x, self.y = origin
+        self.angle = angle
+
+    def frame_type(self, unknown: bool = False) -> FrameType:
+        if unknown:
+            return FrameType.UNKNOWN
+        if self.x == 0 and self.y == 0 and self.angle == 0:
+            return FrameType.WORLD
+        return FrameType.LOCAL
+
+
+class WorldFrame(Frame):
+    """Singleton world frame (double-checked-lock, map_tf.py:31-44)."""
+
+    _instance = None
+    _lock = threading.Lock()
+
+    def __new__(cls):
+        if cls._instance is None:
+            with cls._lock:
+                if cls._instance is None:
+                    cls._instance = super().__new__(cls)
+        return cls._instance
+
+
+def frame2frame_transform(state, src: Frame, dst: Frame) -> np.ndarray:
+    """Transform a state between frames (map_tf.py:69-79)."""
+    return affine_transform(state, dst.angle - src.angle,
+                            (dst.x - src.x, dst.y - src.y))
 
 
 class ScaleOffsetReverseTransform:

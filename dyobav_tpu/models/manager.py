@@ -78,7 +78,20 @@ class NetworkManager:
 
     # ------------------------------------------------------------------ steps
     @partial(jax.jit, static_argnames=("self", "k_top"))
+    def _train_step_fused(self, state: TrainState, trajs, offsets, labels,
+                          ref_map, k_top: int):
+        """Train step with ON-DEVICE input rasterization: only the raw
+        (B, 5, 2) trajectories and offsets cross the host-device boundary
+        (the rasterized stack is ~90 MB/batch; the raw records ~1 KB)."""
+        from .heatmap import traj_to_input_batch
+        images = traj_to_input_batch(trajs, ref_map, offsets)
+        return self._train_step_inner(state, images, labels, k_top)
+
+    @partial(jax.jit, static_argnames=("self", "k_top"))
     def _train_step(self, state: TrainState, images, labels, k_top: int):
+        return self._train_step_inner(state, images, labels, k_top)
+
+    def _train_step_inner(self, state: TrainState, images, labels, k_top: int):
         def loss_fn(params):
             outputs, mutated = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -117,12 +130,31 @@ class NetworkManager:
               k_top_list: List[int] | None = None, val_after_batch: int = 20,
               rasterize=None, checkpoint_dir: str | None = None):
         """Epoch loop mirroring network_manager.train (:129-217): per-epoch
-        k_top, NaN abort, val tracking, early stopping, checkpoints."""
+        k_top, NaN abort, val tracking, early stopping, checkpoints.
+
+        When every sample shares one map (the warehouse dataset), inputs
+        rasterize on-device inside the jitted step; a custom `rasterize`
+        callable falls back to the host path.
+        """
         from .data import rasterize_batch
+        fused = rasterize is None
         rasterize = rasterize or (lambda b: rasterize_batch(b, data_handler.ds))
         k_top_list = k_top_list or losses.default_k_top_schedule(epochs, self.M)
         if len(k_top_list) != epochs:
             raise ValueError("k_top_list length must equal number of epochs.")
+        ref_maps = {}
+        shared_map = None
+        if fused:
+            videos = {s.video for s in data_handler.ds.samples}
+            for v in videos:
+                ref_maps[v] = data_handler.ds.ref_map(v)
+            # Static-environment datasets reuse one map for every video
+            # (WSD warehouse case): detect and rasterize against a single
+            # device-resident copy regardless of batch composition.
+            arrs = list(ref_maps.values())
+            if all(np.array_equal(arrs[0], a) for a in arrs[1:]):
+                shared_map = jnp.asarray(arrs[0])
+            ref_maps = {v: jnp.asarray(a) for v, a in ref_maps.items()}
         min_val = np.inf
         stall = 0
         for ep in range(epochs):
@@ -130,10 +162,21 @@ class NetworkManager:
             k_top = int(k_top_list[ep])
             n_batches = data_handler.batches_per_epoch()
             for bi in range(n_batches):
-                images, labels = rasterize(data_handler.next_batch())
-                self.state, loss = self._train_step(
-                    self.state, jnp.asarray(images), jnp.asarray(labels),
-                    k_top)
+                batch = data_handler.next_batch()
+                one_video = len(set(batch["video"])) == 1
+                if fused and (shared_map is not None or one_video):
+                    the_map = (shared_map if shared_map is not None
+                               else ref_maps[batch["video"][0]])
+                    self.state, loss = self._train_step_fused(
+                        self.state, jnp.asarray(batch["traj"]),
+                        jnp.asarray(batch["offset"]),
+                        jnp.asarray(batch["label"]),
+                        the_map, k_top)
+                else:
+                    images, labels = rasterize(batch)
+                    self.state, loss = self._train_step(
+                        self.state, jnp.asarray(images), jnp.asarray(labels),
+                        k_top)
                 loss = float(loss)
                 if np.isnan(loss):
                     print("Loss is NaN — training aborted.")

@@ -78,14 +78,21 @@ class ResNet34Lite(nn.Module):
     channels: Sequence[int] = (16, 32, 64, 128)
     blocks: Sequence[int] = (3, 4, 6, 3)
     stem_features: int = 64
+    deep_stem: bool = False
     use_bn: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # Stem (non-deep variant, net.py:24-43).
-        x = ConvBNLeaky(self.stem_features, 7, 2, 3, self.use_bn,
-                        dtype=self.dtype)(x, train)
+        if self.deep_stem:
+            # Deep stem (net.py:29-33): 3x3/s2 + 3x3 + 3x3, 32/32/64 ch.
+            x = ConvBNLeaky(32, 3, 2, 1, self.use_bn, dtype=self.dtype)(x, train)
+            x = ConvBNLeaky(32, 3, 1, 1, self.use_bn, dtype=self.dtype)(x, train)
+            x = ConvBNLeaky(self.stem_features, 3, 1, 1, self.use_bn,
+                            dtype=self.dtype)(x, train)
+        else:
+            x = ConvBNLeaky(self.stem_features, 7, 2, 3, self.use_bn,
+                            dtype=self.dtype)(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         for stage, (ch, nb) in enumerate(zip(self.channels, self.blocks)):
             stride = 1 if stage == 0 else 2
@@ -96,20 +103,32 @@ class ResNet34Lite(nn.Module):
         return x
 
 
+class ResNet34(ResNet34Lite):
+    """Full-width variant (net.py:85-105): deep stem, channels 64..512."""
+    channels: Sequence[int] = (64, 128, 256, 512)
+    deep_stem: bool = True
+
+
 class ConvMultiHypoNet(nn.Module):
-    """Backbone → FC(128) → multi-hypothesis linear head."""
+    """Backbone → FC → multi-hypothesis linear head.
+
+    lite=True (default) uses ResNet34Lite + FC(128); lite=False the
+    full-width ResNet34 + FC(1024), matching net.py:113-131.
+    """
 
     dim_out: int = 2
     num_hypos: int = 20
-    fc_features: int = 128
+    lite: bool = True
     use_bn: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feat = ResNet34Lite(use_bn=self.use_bn, dtype=self.dtype)(x, train)
+        backbone = ResNet34Lite if self.lite else ResNet34
+        fc_features = 128 if self.lite else 1024
+        feat = backbone(use_bn=self.use_bn, dtype=self.dtype)(x, train)
         feat = feat.reshape(feat.shape[0], -1)
-        feat = nn.leaky_relu(nn.Dense(self.fc_features, dtype=self.dtype)(feat),
+        feat = nn.leaky_relu(nn.Dense(fc_features, dtype=self.dtype)(feat),
                              LEAKY_POST)
         hypos = nn.Dense(self.dim_out * self.num_hypos, dtype=self.dtype)(feat)
         return hypos.reshape(hypos.shape[0], self.num_hypos, self.dim_out)

@@ -36,7 +36,10 @@ from ..motion.models import unicycle_step
 from .params import MpcParams
 
 import os
-_ROLLOUT_UNROLL = os.environ.get("DYOBAV_ROLLOUT_UNROLL", "1") != "0"
+# Unrolling the 20-step rollout lets XLA fuse the whole horizon but blows up
+# the HLO (especially through jacfwd Hessians): CPU compiles went from ~90 s
+# to >10 min.  Default off; set DYOBAV_ROLLOUT_UNROLL=1 to experiment.
+_ROLLOUT_UNROLL = os.environ.get("DYOBAV_ROLLOUT_UNROLL", "0") == "1"
 
 
 def rollout_states(s0: jnp.ndarray, u: jnp.ndarray, ts: float) -> jnp.ndarray:

@@ -103,23 +103,22 @@ def random_scenarios(base: MainBase, n: int, n_humans: int = 1,
     into one Scenario pytree with a leading batch axis."""
     rng = random.Random(seed)
     nodes = list(base.net_graph.nodes)
-    scenarios = []
-    for _ in range(n):
-        r_nodes = []
-        while len(r_nodes) < min_path_nodes + 1:
-            start_node = rng.choice(nodes)
-            walk = base.net_graph.return_random_nodelist(start_node, walk_len,
-                                                         rng=rng)
-            r_nodes = walk
-        # Node lists are coordinates already; recover ids by walking again —
-        # simpler: sample id paths directly.
-        r_ids = [start_node]
-        while len(r_ids) <= walk_len:
-            nbrs = [x for x in base.net_graph.adj[r_ids[-1]] if x not in r_ids]
+
+    def random_id_walk(length: int) -> list:
+        ids = [rng.choice(nodes)]
+        while len(ids) <= length:
+            nbrs = [x for x in base.net_graph.adj[ids[-1]] if x not in ids]
             if not nbrs:
                 break
-            r_ids.append(rng.choice(nbrs))
-        if len(r_ids) < 2:
+            ids.append(rng.choice(nbrs))
+        return ids
+
+    scenarios = []
+    attempts = 0
+    while len(scenarios) < n and attempts < 20 * n:
+        attempts += 1
+        r_ids = random_id_walk(walk_len)
+        if len(r_ids) < max(2, min_path_nodes):
             continue
         h_paths = []
         h_starts = []

@@ -1,0 +1,92 @@
+"""Pod-scale evaluation sweep over randomized warehouse scenarios.
+
+The batched counterpart of `main_eva` (BASELINE.json config #5): thousands
+of randomized (start, goal, pedestrian-seed) episodes run as ONE sharded
+device program; success/collision/clearance statistics reduce on-device.
+
+    python -m dyobav_tpu.sim.sweep --n 256 --steps 60 --devices 8
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=64, help="number of scenarios")
+    ap.add_argument("--steps", type=int, default=120)
+    ap.add_argument("--humans", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--devices", type=int, default=0,
+                    help="mesh size (0 = all available)")
+    ap.add_argument("--inner-iters", type=int, default=10)
+    ap.add_argument("--outer-iters", type=int, default=3)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..configs import SolverConfiguration
+    from ..parallel.mesh import make_mesh, pad_to_multiple, shard_batch
+    from .batch import Scenario, build_batch_sim
+    from .harness import MainBase
+    from .scenarios import random_scenarios
+
+    base = MainBase(max_run_time_step=args.steps, evaluation=True,
+                    seed=args.seed)
+    batch = random_scenarios(base, args.n, n_humans=args.humans,
+                             seed=args.seed)
+
+    n_dev = args.devices or len(jax.devices())
+    mesh = make_mesh(n_dev)
+    padded = Scenario(*[
+        jnp.asarray(pad_to_multiple(np.asarray(x), n_dev)[0])
+        for x in batch])
+    true_n = args.n
+    padded = shard_batch(mesh, padded)
+
+    scfg = SolverConfiguration(max_inner_iters=args.inner_iters,
+                               max_outer_iters=args.outer_iters,
+                               inner_iters_later=max(args.inner_iters // 2, 3))
+    run = build_batch_sim(base.config_mpc, base.config_robot, scfg,
+                          n_humans=args.humans, n_steps=args.steps)
+    seeds = jnp.arange(padded.robot_start.shape[0])
+
+    t0 = time.perf_counter()
+    res = run(padded, seeds)
+    res.success.block_until_ready()
+    first = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    res = run(padded, seeds)
+    res.success.block_until_ready()
+    steady = time.perf_counter() - t0
+
+    success = np.asarray(res.success)[:true_n]
+    collided = np.asarray(res.collided)[:true_n]
+    clearance = np.asarray(res.min_clearance)[:true_n]
+    steps_used = np.asarray(res.steps_used)[:true_n]
+    total_solves = int(np.sum(steps_used)) or true_n * args.steps
+
+    print(json.dumps({
+        "n_scenarios": true_n,
+        "devices": n_dev,
+        "success_rate": float(success.mean()),
+        "collision_rate": float(collided.mean()),
+        "timeout_rate": float(1.0 - success.mean() - collided.mean()),
+        "min_clearance_mean": float(clearance[np.isfinite(clearance)].mean())
+        if np.isfinite(clearance).any() else None,
+        "steps_used_mean": float(steps_used.mean()),
+        "wall_s_first": round(first, 2),
+        "wall_s_steady": round(steady, 2),
+        "control_steps_per_s": round(true_n * args.steps / steady, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

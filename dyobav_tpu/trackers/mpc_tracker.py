@@ -49,8 +49,9 @@ class TrajectoryTracker:
         self.set_obstacle_weights(stc_weights=10, dyn_weights=10)
 
         # "Importing the solver" = building the jitted bundle (no codegen).
+        self.solver_config = solver_config or SolverConfiguration()
         self.bundle: MpcSolverBundle = build_mpc_solver(
-            config, robot_specification, solver_config)
+            config, robot_specification, self.solver_config)
         self.use_multistart = use_multistart
         self._last_u: Optional[np.ndarray] = None
 
@@ -258,7 +259,8 @@ class TrajectoryTracker:
             sols = self.bundle.solve_batch(zb, jnp.asarray(guesses))
             # Rank by (feasibility first, then cost).
             score = np.asarray(sols.cost) + 1e6 * (
-                np.asarray(sols.infeasibility) > 10 * SolverConfiguration().constraint_tol)
+                np.asarray(sols.infeasibility)
+                > 10 * self.solver_config.constraint_tol)
             best = int(np.argmin(score))
             u_flat = np.asarray(sols.u[best])
             cost = float(sols.cost[best])
