@@ -36,10 +36,12 @@ from ..motion.models import unicycle_step
 from .params import MpcParams
 
 import os
-# Unrolling the 20-step rollout lets XLA fuse the whole horizon but blows up
-# the HLO (especially through jacfwd Hessians): CPU compiles went from ~90 s
-# to >10 min.  Default off; set DYOBAV_ROLLOUT_UNROLL=1 to experiment.
-_ROLLOUT_UNROLL = os.environ.get("DYOBAV_ROLLOUT_UNROLL", "0") == "1"
+# Rollout unroll factor: 1 = While loop (smallest HLO, slowest steady
+# state), N_hor = fully unrolled (fuses best, but compiles blew from ~90 s
+# to >10 min through the jacfwd Hessian).  A small factor (4-5) trades a
+# modest HLO growth for much shorter sequential critical paths — the solve
+# is latency-bound on sequential scan steps, not FLOPs.
+_ROLLOUT_UNROLL = max(1, int(os.environ.get("DYOBAV_ROLLOUT_UNROLL", "4")))
 
 
 def rollout_states(s0: jnp.ndarray, u: jnp.ndarray, ts: float) -> jnp.ndarray:

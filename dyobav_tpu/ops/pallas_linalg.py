@@ -107,9 +107,15 @@ def _pallas_spd_solve(A: jnp.ndarray, b: jnp.ndarray,
 
 def batched_spd_solve(A: jnp.ndarray, b: jnp.ndarray,
                       force_pallas: bool | None = None) -> jnp.ndarray:
-    """Batched SPD solve; Pallas lanes kernel on TPU, LAPACK elsewhere."""
-    use_pallas = (force_pallas if force_pallas is not None
-                  else jax.default_backend() == "tpu")
+    """Batched SPD solve.
+
+    Measured on a v5e chip (B=512, n=40): the XLA batched solve runs in
+    ~9 ms while this lanes kernel takes ~4.4 s — the 2400 unrolled
+    sublane-indexed vector ops serialize badly under Mosaic.  The kernel is
+    kept (correct to ~1e-12) as a documented negative result and a base for
+    a future blocked formulation; the default is XLA everywhere.
+    """
+    use_pallas = bool(force_pallas)
     if use_pallas:
         return _pallas_spd_solve(A, b, interpret=(jax.default_backend() != "tpu"))
     return jax.vmap(lambda a, rhs: jax.scipy.linalg.solve(

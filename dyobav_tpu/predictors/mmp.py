@@ -17,6 +17,7 @@ TPU-first redesign of the hot path:
 """
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -67,11 +68,18 @@ class ObstacleSnapper:
         return pts
 
 
+DEFAULT_CKPT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "Model", "wsd_1t20")
+
+
 class MmpInterface:
     def __init__(self, config: WtaNetConfiguration | None = None,
                  checkpoint_path: Optional[str] = None,
                  network_manager: NetworkManager | None = None):
         self.config = config or WtaNetConfiguration()
+        if checkpoint_path is None and os.path.exists(DEFAULT_CKPT):
+            checkpoint_path = DEFAULT_CKPT   # repo-trained SWTA weights
         if network_manager is not None:
             self.network_manager = network_manager
         else:
