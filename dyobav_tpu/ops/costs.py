@@ -36,12 +36,13 @@ from ..motion.models import unicycle_step
 from .params import MpcParams
 
 import os
-# Rollout unroll factor: 1 = While loop (smallest HLO, slowest steady
-# state), N_hor = fully unrolled (fuses best, but compiles blew from ~90 s
-# to >10 min through the jacfwd Hessian).  A small factor (4-5) trades a
-# modest HLO growth for much shorter sequential critical paths — the solve
-# is latency-bound on sequential scan steps, not FLOPs.
-_ROLLOUT_UNROLL = max(1, int(os.environ.get("DYOBAV_ROLLOUT_UNROLL", "4")))
+# Rollout unroll factor.  Measured: unroll=4 left TPU throughput unchanged
+# (1,718 solves/s either way — the solve is bound by the sequential Newton
+# iterations, not scan-step overhead) while ~2.5x-ing the remote TPU
+# compile; full unroll (20) blew CPU compiles from ~90 s to >10 min via the
+# jacfwd Hessian.  Default 1 (While loop) for fast compiles; the env knob
+# remains for experiments.
+_ROLLOUT_UNROLL = max(1, int(os.environ.get("DYOBAV_ROLLOUT_UNROLL", "1")))
 
 
 def rollout_states(s0: jnp.ndarray, u: jnp.ndarray, ts: float) -> jnp.ndarray:
@@ -56,10 +57,6 @@ def rollout_states(s0: jnp.ndarray, u: jnp.ndarray, ts: float) -> jnp.ndarray:
         s_next = unicycle_step(s, a, ts)
         return s_next, s_next
 
-    # Full unroll: the horizon is short (N=20) and each step is tiny, so a
-    # While loop would dominate; unrolled, XLA fuses the whole rollout.
-    # (DYOBAV_ROLLOUT_UNROLL=0 reverts to a While loop — smaller HLO,
-    # slower steady state; used for compile-time experiments.)
     _, states = jax.lax.scan(step, s0, u, unroll=_ROLLOUT_UNROLL)
     return states
 
