@@ -24,6 +24,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=120)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--plot", action="store_true")
+    p.add_argument("--save-plot", default=None, metavar="PATH",
+                   help="render headlessly and save the final frame as PNG")
     p.add_argument("--json", action="store_true", help="print metrics as JSON")
     p.add_argument("--verbose", action="store_true")
     return p
@@ -40,7 +42,10 @@ def main(argv=None) -> int:
                     evaluation=evaluation, seed=args.seed,
                     verbose=args.verbose)
     plotter = None
-    if args.plot and not evaluation:
+    if (args.plot or args.save_plot) and not evaluation:
+        if args.save_plot:
+            import matplotlib
+            matplotlib.use("Agg")
         from .plotter import Plotter
         plotter = Plotter(base.config_mpc.ts, base.config_mpc.N_hor)
         plotter.prepare_plots(base.occ_map, base.map_extent)
@@ -52,7 +57,11 @@ def main(argv=None) -> int:
         else:
             base.print_results()
     if plotter is not None:
-        plotter.show()
+        if args.save_plot:
+            plotter.fig.savefig(args.save_plot, dpi=120)
+            print(f"saved {args.save_plot}")
+        elif args.plot:
+            plotter.show()
     return 0
 
 
