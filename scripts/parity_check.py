@@ -33,6 +33,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--inner-iters", type=int, default=None,
+                    help="override SolverConfiguration.max_inner_iters")
+    ap.add_argument("--outer-iters", type=int, default=None)
+    ap.add_argument("--later-iters", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -46,7 +50,14 @@ def main() -> int:
     from dyobav_tpu.ops.params import unpack
     from dyobav_tpu.sim.harness import MainBase
 
-    base = MainBase(max_run_time_step=args.steps, evaluation=True, seed=0)
+    scfg = None
+    if args.inner_iters is not None:
+        scfg = SolverConfiguration(
+            max_inner_iters=args.inner_iters,
+            max_outer_iters=args.outer_iters or 4,
+            inner_iters_later=args.later_iters or max(args.inner_iters // 2, 3))
+    base = MainBase(max_run_time_step=args.steps, evaluation=True, seed=0,
+                    solver_config=scfg)
     robot, humans = base._prepare_agents()
     tracker_intf, predictor = base._prepare_interfaces(robot, "cvmp", "mpc")
     tracker = tracker_intf.traj_tracker
