@@ -204,6 +204,32 @@ class NetworkManager:
                         break
         self.complete = True
 
+    @partial(jax.jit, static_argnames=("self",))
+    def _bn_forward(self, state: TrainState, trajs, offsets, labels, ref_map):
+        """Forward-only train-mode pass that refreshes batch_stats."""
+        from .heatmap import traj_to_input_batch
+        images = traj_to_input_batch(trajs, ref_map, offsets)
+        _, mutated = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=True, mutable=["batch_stats"])
+        return state.replace(batch_stats=mutated["batch_stats"])
+
+    def recalibrate_batch_stats(self, data_handler, n_batches: int = 100):
+        """Refresh BatchNorm running statistics against the FINAL parameters
+        (forward passes only, no gradient updates).
+
+        Needed when running stats lag the trained parameters — e.g. after
+        training with a slow BN momentum, or after porting weights.
+        """
+        ref_maps = {v: jnp.asarray(data_handler.ds.ref_map(v))
+                    for v in {s.video for s in data_handler.ds.samples}}
+        for _ in range(n_batches):
+            batch = data_handler.next_batch()
+            self.state = self._bn_forward(
+                self.state, jnp.asarray(batch["traj"]),
+                jnp.asarray(batch["offset"]), jnp.asarray(batch["label"]),
+                ref_maps[batch["video"][0]])
+
     def _validate(self, data_handler, rasterize, k_top: int) -> float:
         vals = []
         for batch in data_handler.val_batches(max_batches=2):

@@ -45,7 +45,11 @@ class ConvBNLeaky(nn.Module):
                     padding=[(self.padding, self.padding)] * 2,
                     use_bias=not self.use_bn, dtype=self.dtype)(x)
         if self.use_bn:
-            x = nn.BatchNorm(use_running_average=not train,
+            # momentum 0.9 matches torch's BatchNorm2d default (0.1 "new"
+            # fraction); flax's 0.99 default left running stats lagging the
+            # trained parameters by ~100 steps — enough to break eval mode
+            # on this depth of residual BN stack.
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=self.dtype)(x)
         if self.activate:
             x = nn.leaky_relu(x, LEAKY_CONV)
@@ -70,7 +74,7 @@ class BasicBlock(nn.Module):
                                strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype)(x)
             identity = nn.BatchNorm(use_running_average=not train,
-                                    dtype=self.dtype)(identity)
+                                    momentum=0.9, dtype=self.dtype)(identity)
         return nn.leaky_relu(out + identity, LEAKY_POST)
 
 

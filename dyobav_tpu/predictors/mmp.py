@@ -51,6 +51,14 @@ class ObstacleSnapper:
         self.occupied = occupied
         self.nearest = idx          # (2, H, W): row/col of nearest edge cell
 
+    def tables(self) -> Optional[np.ndarray]:
+        """(3, H, W) stacked gather tables (nearest row, nearest col,
+        occupied mask) for the in-graph snap used by the batched sim."""
+        if self.nearest is None:
+            return None
+        return np.stack([self.nearest[0], self.nearest[1],
+                         self.occupied.astype(self.nearest.dtype)])
+
     def snap(self, points: np.ndarray) -> np.ndarray:
         """Move points lying inside obstacles to the nearest edge (order
         preserved, unlike the reference which reorders snapped points)."""

@@ -73,8 +73,16 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
                     solver_cfg: SolverConfiguration | None = None,
                     n_humans: int = 1, human_vmax: float = 1.5,
                     human_stagger: float = 0.5, n_steps: int = 120,
-                    dtype=jnp.float32):
-    """Returns run(batch: Scenario[B], seed) -> BatchResult — fully jitted."""
+                    predictor=None, dtype=jnp.float32):
+    """Returns run(batch: Scenario[B], seed) -> BatchResult — fully jitted.
+
+    predictor: optional pure function `hist (5, H, 2) -> (mu (N, K, 2),
+    std (N, K, 2), alpha (N, K))` in world coordinates producing the
+    dynamic-obstacle prediction slots (K <= Ndynobs).  Default: the
+    constant-velocity predictor with unit std (one slot per human).
+    `make_wta_predictor` builds the full neural (SWTA + on-device CGF)
+    version — BASELINE config #3 at scenario-batch scale.
+    """
     scfg = solver_cfg or SolverConfiguration()
     N = cfg.N_hor
     ts = cfg.ts
@@ -129,10 +137,14 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
 
     def cv_predict(hist):
         """Constant-velocity prediction from the 5-point history ring:
-        (5, H, 2) -> mu (N, H, 2), matching CvmpInterface semantics."""
+        (5, H, 2) -> (mu (N, H, 2), std (N, H, 2), alpha (N, H)),
+        matching CvmpInterface semantics (unit std)."""
         vel = jnp.mean(hist[1:] - hist[:-1], axis=0)       # (H, 2)
         steps = jnp.arange(1, N + 1, dtype=hist.dtype)[:, None, None]
-        return hist[-1][None] + vel[None] * steps
+        mu = hist[-1][None] + vel[None] * steps
+        return mu, jnp.ones_like(mu), jnp.ones(mu.shape[:2], mu.dtype)
+
+    predict_fn = predictor if predictor is not None else cv_predict
 
     def closest_obstacles(sc: Scenario, state):
         """Per-step closest-Nstcobs halfspace selection (the in-graph
@@ -150,23 +162,27 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
         _, idx = jax.lax.top_k(-dist, cfg.Nstcobs)
         return sc.all_stc[idx]
 
-    def assemble_params(sc: Scenario, st: SimState, window, mu_pred):
-        H = mu_pred.shape[1]
+    def assemble_params(sc: Scenario, st: SimState, window, prediction):
+        mu_pred, std_pred, alpha_pred = prediction          # (N, K, ...)
+        K = mu_pred.shape[1]
+        H = st.humans.shape[0]
         dyn = jnp.zeros((cfg.Ndynobs, N + 1, cfg.ndynobs), dtype)
-        # Step 0: current positions with HUMAN_SIZE std; steps 1..N: cvmp
-        # predictions with unit std (harness path semantics).
+        # Inactive slots mirror the harness default [0,0,0,0,0,1].
+        dyn = dyn.at[..., 5].set(1.0)
+        # Step 0: current human positions with HUMAN_SIZE std
+        # (harness semantics main_base.py:299-302).
         cur = jnp.concatenate([
             st.humans, jnp.full((H, 2), HUMAN_SIZE, dtype),
             jnp.zeros((H, 1), dtype), jnp.ones((H, 1), dtype)], axis=1)
+        dyn = dyn.at[:H, 0, :].set(cur)
+        # Steps 1..N: predictor slots (mu, std, angle 0, alpha).
         pred = jnp.concatenate([
-            jnp.swapaxes(mu_pred, 0, 1), jnp.ones((H, N, 2), dtype),
-            jnp.zeros((H, N, 1), dtype), jnp.ones((H, N, 1), dtype)], axis=2)
-        ob = jnp.concatenate([cur[:, None, :], pred], axis=1)  # (H, N+1, 6)
-        dyn = dyn.at[:H].set(ob)
-        # Inactive padded slots mirror the harness default [0,0,0,0,0,1].
-        pad = jnp.zeros((cfg.Ndynobs - H, N + 1, cfg.ndynobs), dtype)
-        pad = pad.at[..., 5].set(1.0)
-        dyn = dyn.at[H:].set(pad)
+            jnp.swapaxes(mu_pred, 0, 1),
+            jnp.swapaxes(std_pred, 0, 1),
+            jnp.zeros((K, N, 1), dtype),
+            jnp.swapaxes(alpha_pred, 0, 1)[..., None],
+        ], axis=2)
+        dyn = dyn.at[:K, 1:, :].set(pred)
 
         return MpcParams(
             u_prev=st.u_prev, s0=st.robot, sN=window[-1], q=q_vec,
@@ -182,8 +198,8 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
     def scenario_step(sc: Scenario, st: SimState):
         window, ref_idx = ref_window(sc.ref_traj, sc.ref_len, st.ref_idx,
                                      st.robot)
-        mu_pred = cv_predict(st.human_hist)
-        p = assemble_params(sc, st, window, mu_pred)
+        prediction = predict_fn(st.human_hist)
+        p = assemble_params(sc, st, window, prediction)
         u = solve_one(p, st.u_warm)
 
         action = u[:2]
@@ -256,3 +272,90 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
         )
 
     return run
+
+
+def make_wta_predictor(net_apply, variables, ref_map_px, transform,
+                       n_hor: int, snap_nearest=None, obsv_len: int = 5,
+                       max_clusters: int = 8, enlarge: float = 2.0,
+                       scale2nn: float = 1.0, dtype=jnp.float32):
+    """Neural predictor for the batched sim: SWTA CNN + on-device CGF.
+
+    The full BASELINE config-#3 pipeline as a pure function usable inside
+    `build_batch_sim`: world-frame histories → pixel frame → 7-channel input
+    stacks for all horizon offsets (`models.heatmap`) → ConvMultiHypoNet →
+    optional obstacle snap (precomputed nearest-edge gather tables) →
+    `ops.cluster.cluster_gaussian_fit` per offset → world-frame (μ, σ, α)
+    slots.  Memory note: activations are (H·N_hor, Hpx, Wpx, 7) per
+    scenario — batch sizes are CNN-memory-bound (B ≲ 32 on one v5e chip).
+
+    Args:
+        net_apply: `lambda variables, images: (B, M, 2)` hypotheses (px).
+        ref_map_px: (Hpx, Wpx) grayscale map channel.
+        transform: `maps.transforms.ScaleOffsetReverseTransform` world↔px.
+        snap_nearest: optional (2, Hpx, Wpx) nearest-free-edge row/col
+            tables (`predictors.mmp.ObstacleSnapper(...).nearest`).
+        max_clusters: cluster slots per (human, offset); K = H·max_clusters
+            must stay ≤ MpcConfiguration.Ndynobs.
+    """
+    from ..models.heatmap import traj_to_input_stack
+    from ..ops.cluster import cluster_gaussian_fit
+
+    ref_map_px = jnp.asarray(ref_map_px, dtype)
+    Hpx, Wpx = ref_map_px.shape
+    k = jnp.asarray(transform.k, dtype)            # world = k * px' + b
+    b = jnp.asarray(transform.b, dtype)
+    ym = jnp.asarray(transform.ym, dtype)
+    y_rev = bool(transform.yr)
+    nearest = None if snap_nearest is None else jnp.asarray(snap_nearest)
+
+    def world_to_px(xy):
+        px = (xy - b) / k
+        if y_rev:
+            px = px.at[..., 1].set(ym - px[..., 1])
+        return px * scale2nn
+
+    def px_to_world(px):
+        px = px / scale2nn
+        if y_rev:
+            px = px.at[..., 1].set(ym - px[..., 1])
+        return px * k + b
+
+    def snap(points_px):
+        """Gather-based obstacle snap; expects the (3, H, W) stacked tables
+        from `predictors.mmp.ObstacleSnapper.tables()` (nearest row/col +
+        occupied mask)."""
+        if nearest is None:
+            return points_px
+        cols = jnp.clip(points_px[..., 0].astype(jnp.int32), 0, Wpx - 1)
+        rows = jnp.clip(points_px[..., 1].astype(jnp.int32), 0, Hpx - 1)
+        snapped = jnp.stack([nearest[1][rows, cols].astype(dtype),
+                             nearest[0][rows, cols].astype(dtype)], axis=-1)
+        inside = nearest[2][rows, cols] > 0
+        return jnp.where(inside[..., None], snapped, points_px)
+
+    offsets = jnp.arange(1, n_hor + 1, dtype=dtype)
+
+    def predict(hist_world):
+        """(5, H, 2) world → (μ (N, H·C, 2), σ (N, H·C, 2), α (N, H·C))."""
+        hist_px = world_to_px(hist_world)                   # (5, H, 2)
+
+        def per_human(traj_px):
+            stack = traj_to_input_stack(traj_px, ref_map_px, offsets,
+                                        obsv_len=obsv_len)
+            hypos = net_apply(variables, stack)             # (N, M, 2) px
+            hypos = snap(hypos)
+            hypos_w = px_to_world(hypos)
+            mu, std, alpha = jax.vmap(
+                lambda pts: cluster_gaussian_fit(
+                    pts, eps=1.0, enlarge=enlarge,
+                    max_clusters=max_clusters))(hypos_w)
+            return mu, std, alpha                            # (N, C, ...)
+
+        mu, std, alpha = jax.vmap(per_human, in_axes=1)(hist_px)  # (H, N, C, .)
+        H = mu.shape[0]
+        mu = jnp.swapaxes(mu, 0, 1).reshape(n_hor, -1, 2)
+        std = jnp.swapaxes(std, 0, 1).reshape(n_hor, -1, 2)
+        alpha = jnp.swapaxes(alpha, 0, 1).reshape(n_hor, -1)
+        return mu, std, alpha
+
+    return predict
