@@ -29,10 +29,15 @@ def test_mmp_prediction_shapes(mmp):
     hypos = mmp.get_motion_prediction(traj, ref, pred_offset=20, rescale=1.0)
     assert len(hypos) == 20
     assert hypos[0].shape == (20, 2)
-    # Predictions land inside the map bounds.
+    # Predictions land inside the map bounds...
     allh = np.concatenate(hypos)
     assert allh[:, 0].min() > -50 and allh[:, 0].max() < 400
     assert allh[:, 1].min() > -50 and allh[:, 1].max() < 350
+    # ...and near the pedestrian (quality gate: the mean hypothesis at the
+    # first offset stays within 60 px of the current position; catches the
+    # BatchNorm running-stat failure mode where eval-mode drifted ~200 px).
+    near = np.linalg.norm(hypos[0].mean(axis=0) - np.array([160.0, 56.0]))
+    assert near < 60.0, f"offset-1 hypothesis centroid {near:.0f}px away"
 
 
 def test_sim_step_with_mmp(mmp):
