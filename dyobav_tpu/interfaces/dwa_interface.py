@@ -4,7 +4,7 @@ Mirrors `interfaces/dwa_interface.DwaInterface` (dwa_interface.py:20-69).
 """
 from __future__ import annotations
 
-from typing import List, Tuple, Union
+from typing import List, Tuple
 
 import numpy as np
 

@@ -23,8 +23,6 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-from .heatmap import gaussian_map  # noqa: F401  (re-export for tests)
-
 
 @dataclass
 class Sample:

@@ -16,7 +16,6 @@ Cost semantics match the reference exactly, including:
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax

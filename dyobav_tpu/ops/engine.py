@@ -9,7 +9,6 @@ interface is kept byte-compatible with the generated OpEn solver (see
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple
 
 import jax

@@ -6,7 +6,7 @@ or rough schedules (start/end node + EDT) resolved through Dijkstra.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, Tuple
 
 import networkx as nx
 import pandas as pd

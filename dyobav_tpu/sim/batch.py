@@ -15,7 +15,6 @@ reference trajectories, pedestrian waypoints) once per batch.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -28,7 +27,6 @@ from ..motion.models import unicycle_step
 from ..ops import costs
 from ..ops.newton import make_alm_newton_solver
 from ..ops.params import MpcParams, tuning_vector
-from ..utils import geometry as geo
 
 HUMAN_SIZE = 0.2
 FAR_COORD = 1.0e6     # padding sentinel for inert obstacle/waypoint slots

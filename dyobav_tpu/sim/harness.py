@@ -11,13 +11,13 @@ import math
 import os
 import random
 import timeit
-from typing import List, Optional, Tuple, Union
+from typing import List, Tuple, Union
 
 import numpy as np
 
 from ..configs import (CircularRobotSpecification, DwaConfiguration,
                        MpcConfiguration, SolverConfiguration,
-                       WarehouseSimConfiguration, WtaNetConfiguration)
+                       WarehouseSimConfiguration)
 from ..interfaces.dwa_interface import DwaInterface
 from ..interfaces.map_interface import MapInterface
 from ..interfaces.mpc_interface import MpcInterface

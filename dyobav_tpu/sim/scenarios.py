@@ -14,7 +14,6 @@ from typing import List, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from ..configs import CircularRobotSpecification, MpcConfiguration
 from ..trackers.mpc_tracker import TrajectoryTracker
 from ..utils.geometry import polygon_halfspace_representation
 from .batch import FAR_COORD, Scenario

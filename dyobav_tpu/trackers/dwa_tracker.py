@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import math
 import timeit
-from typing import List, Tuple, Union
+from typing import List, Union
 
 import jax.numpy as jnp
 import numpy as np

@@ -25,7 +25,6 @@ from ..configs import (CircularRobotSpecification, MpcConfiguration,
                        SolverConfiguration)
 from ..motion.models import unicycle_step
 from ..ops.engine import MpcSolverBundle, build_mpc_solver
-from ..ops.params import empty_params, pack
 
 
 class TrajectoryTracker:
