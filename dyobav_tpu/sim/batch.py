@@ -32,6 +32,98 @@ HUMAN_SIZE = 0.2
 FAR_COORD = 1.0e6     # padding sentinel for inert obstacle/waypoint slots
 
 
+def ref_window_select(ref_traj, ref_len, ref_idx, state, N: int):
+    """jax port of the tracker's local-window selection
+    (trajectory_tracker.py:242-270).  Shared by the single-robot and fleet
+    batched simulators."""
+    lb = jnp.maximum(0, ref_idx - 1)
+    cand = jax.lax.dynamic_slice(ref_traj, (lb, 0), (6, 3))
+    cand_idx = lb + jnp.arange(6)
+    d = jnp.hypot(cand[:, 0] - state[0], cand[:, 1] - state[1])
+    d = jnp.where(cand_idx < ref_len, d, jnp.inf)
+    idx_next = lb + jnp.argmin(d)
+    start = jnp.minimum(idx_next, ref_traj.shape[0] - N)
+    window = jax.lax.dynamic_slice(ref_traj, (start, 0), (N, 3))
+    # Pad beyond the true end with the final reference state.
+    row_idx = start + jnp.arange(N)
+    last = ref_traj[ref_len - 1]
+    window = jnp.where((row_idx < ref_len)[:, None], window, last[None])
+    return window, idx_next
+
+
+def human_waypoint_step(humans, wp_idx, paths, path_len, rng,
+                        vmax: float, stagger_mag: float, ts: float):
+    """Pedestrian waypoint-following step with the reference's stagger noise
+    (basic_agent.py:98-101: choice(±1) * randint(0,10)/10 * s)."""
+    goal = jnp.take_along_axis(
+        paths, wp_idx[:, None, None].clip(0, paths.shape[1] - 1), axis=1
+    )[:, 0, :]
+    dvec = goal - humans
+    dist = jnp.linalg.norm(dvec, axis=-1)
+    advance = (dist < vmax * ts) & (wp_idx < path_len - 1)
+    wp_idx = wp_idx + advance.astype(wp_idx.dtype)
+    active = wp_idx < path_len
+    dire = dvec / jnp.maximum(dist, 1e-9)[:, None]
+    rng, k1, k2 = jax.random.split(rng, 3)
+    sign = jax.random.choice(k1, jnp.array([1.0, -1.0]), (humans.shape[0],))
+    mag = jax.random.randint(k2, (humans.shape[0],), 0, 11) / 10.0
+    stagger = (sign * mag * stagger_mag)[:, None]
+    vel = dire * vmax + stagger
+    humans = jnp.where(active[:, None], humans + ts * vel, humans)
+    return humans, wp_idx, rng
+
+
+def cv_predict_horizon(hist, N: int):
+    """Constant-velocity prediction from the 5-point history ring:
+    (5, H, 2) -> (mu (N, H, 2), std (N, H, 2), alpha (N, H)), matching
+    CvmpInterface semantics (unit std)."""
+    vel = jnp.mean(hist[1:] - hist[:-1], axis=0)       # (H, 2)
+    steps = jnp.arange(1, N + 1, dtype=hist.dtype)[:, None, None]
+    mu = hist[-1][None] + vel[None] * steps
+    return mu, jnp.ones_like(mu), jnp.ones(mu.shape[:2], mu.dtype)
+
+
+def closest_obstacle_halfspaces(all_polys, all_stc, state, n_top: int):
+    """Per-step closest-N halfspace selection (the in-graph counterpart of
+    `MpcInterface.get_closest_n_stc_obstacles`, mpc_interface.py:90-98)."""
+    a = all_polys                                      # (M, 4, 2)
+    b = jnp.roll(a, -1, axis=1)
+    d = b - a
+    len_sq = jnp.sum(d * d, axis=-1) + 1e-16
+    rel = state[None, None, :2] - a
+    t = jnp.clip(jnp.sum(rel * d, axis=-1) / len_sq, 0.0, 1.0)
+    closest = a + t[..., None] * d
+    dist = jnp.min(jnp.linalg.norm(state[None, None, :2] - closest,
+                                   axis=-1), axis=1)   # (M,)
+    _, idx = jax.lax.top_k(-dist, n_top)
+    return all_stc[idx]
+
+
+def assemble_dyn_obstacles(humans, prediction, n_slots: int, n_cols: int,
+                           N: int, dtype):
+    """(μ, σ, α) horizon prediction + current human positions → the solver's
+    (Ndynobs, N+1, 6) dynamic-obstacle tensor.  Inactive slots mirror the
+    harness default [0,0,0,0,0,1]; step 0 carries the current positions with
+    HUMAN_SIZE std (harness semantics main_base.py:299-302)."""
+    mu_pred, std_pred, alpha_pred = prediction          # (N, K, ...)
+    K = mu_pred.shape[1]
+    H = humans.shape[0]
+    dyn = jnp.zeros((n_slots, N + 1, n_cols), dtype)
+    dyn = dyn.at[..., 5].set(1.0)
+    cur = jnp.concatenate([
+        humans, jnp.full((H, 2), HUMAN_SIZE, dtype),
+        jnp.zeros((H, 1), dtype), jnp.ones((H, 1), dtype)], axis=1)
+    dyn = dyn.at[:H, 0, :].set(cur)
+    pred = jnp.concatenate([
+        jnp.swapaxes(mu_pred, 0, 1),
+        jnp.swapaxes(std_pred, 0, 1),
+        jnp.zeros((K, N, 1), dtype),
+        jnp.swapaxes(alpha_pred, 0, 1)[..., None],
+    ], axis=2)
+    dyn = dyn.at[:K, 1:, :].set(pred)
+    return dyn
+
+
 class Scenario(NamedTuple):
     """Fixed-size tensors describing one episode (batch by stacking)."""
     robot_start: jnp.ndarray    # (3,)
@@ -98,90 +190,22 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
         return res.u
 
     def ref_window(ref_traj, ref_len, ref_idx, state):
-        """jax port of the tracker's local-window selection
-        (trajectory_tracker.py:242-270)."""
-        lb = jnp.maximum(0, ref_idx - 1)
-        cand = jax.lax.dynamic_slice(ref_traj, (lb, 0), (6, 3))
-        cand_idx = lb + jnp.arange(6)
-        d = jnp.hypot(cand[:, 0] - state[0], cand[:, 1] - state[1])
-        d = jnp.where(cand_idx < ref_len, d, jnp.inf)
-        idx_next = lb + jnp.argmin(d)
-        start = jnp.minimum(idx_next, ref_traj.shape[0] - N)
-        window = jax.lax.dynamic_slice(ref_traj, (start, 0), (N, 3))
-        # Pad beyond the true end with the final reference state.
-        row_idx = start + jnp.arange(N)
-        last = ref_traj[ref_len - 1]
-        window = jnp.where((row_idx < ref_len)[:, None], window, last[None])
-        return window, idx_next
+        return ref_window_select(ref_traj, ref_len, ref_idx, state, N)
 
     def human_step(humans, wp_idx, paths, path_len, rng):
-        goal = jnp.take_along_axis(
-            paths, wp_idx[:, None, None].clip(0, paths.shape[1] - 1), axis=1
-        )[:, 0, :]
-        dvec = goal - humans
-        dist = jnp.linalg.norm(dvec, axis=-1)
-        advance = (dist < human_vmax * ts) & (wp_idx < path_len - 1)
-        wp_idx = wp_idx + advance.astype(wp_idx.dtype)
-        active = wp_idx < path_len
-        dire = dvec / jnp.maximum(dist, 1e-9)[:, None]
-        rng, k1, k2 = jax.random.split(rng, 3)
-        # Stagger noise: reference uses choice(±1) * randint(0,10)/10 * s.
-        sign = jax.random.choice(k1, jnp.array([1.0, -1.0]), (humans.shape[0],))
-        mag = jax.random.randint(k2, (humans.shape[0],), 0, 11) / 10.0
-        stagger = (sign * mag * human_stagger)[:, None]
-        vel = dire * human_vmax + stagger
-        humans = jnp.where(active[:, None], humans + ts * vel, humans)
-        return humans, wp_idx, rng
+        return human_waypoint_step(humans, wp_idx, paths, path_len, rng,
+                                   human_vmax, human_stagger, ts)
 
-    def cv_predict(hist):
-        """Constant-velocity prediction from the 5-point history ring:
-        (5, H, 2) -> (mu (N, H, 2), std (N, H, 2), alpha (N, H)),
-        matching CvmpInterface semantics (unit std)."""
-        vel = jnp.mean(hist[1:] - hist[:-1], axis=0)       # (H, 2)
-        steps = jnp.arange(1, N + 1, dtype=hist.dtype)[:, None, None]
-        mu = hist[-1][None] + vel[None] * steps
-        return mu, jnp.ones_like(mu), jnp.ones(mu.shape[:2], mu.dtype)
-
-    predict_fn = predictor if predictor is not None else cv_predict
+    predict_fn = (predictor if predictor is not None
+                  else lambda hist: cv_predict_horizon(hist, N))
 
     def closest_obstacles(sc: Scenario, state):
-        """Per-step closest-Nstcobs halfspace selection (the in-graph
-        counterpart of `MpcInterface.get_closest_n_stc_obstacles`,
-        mpc_interface.py:90-98)."""
-        a = sc.all_polys                                   # (M, 4, 2)
-        b = jnp.roll(a, -1, axis=1)
-        d = b - a
-        len_sq = jnp.sum(d * d, axis=-1) + 1e-16
-        rel = state[None, None, :2] - a
-        t = jnp.clip(jnp.sum(rel * d, axis=-1) / len_sq, 0.0, 1.0)
-        closest = a + t[..., None] * d
-        dist = jnp.min(jnp.linalg.norm(state[None, None, :2] - closest,
-                                       axis=-1), axis=1)   # (M,)
-        _, idx = jax.lax.top_k(-dist, cfg.Nstcobs)
-        return sc.all_stc[idx]
+        return closest_obstacle_halfspaces(sc.all_polys, sc.all_stc, state,
+                                           cfg.Nstcobs)
 
     def assemble_params(sc: Scenario, st: SimState, window, prediction):
-        mu_pred, std_pred, alpha_pred = prediction          # (N, K, ...)
-        K = mu_pred.shape[1]
-        H = st.humans.shape[0]
-        dyn = jnp.zeros((cfg.Ndynobs, N + 1, cfg.ndynobs), dtype)
-        # Inactive slots mirror the harness default [0,0,0,0,0,1].
-        dyn = dyn.at[..., 5].set(1.0)
-        # Step 0: current human positions with HUMAN_SIZE std
-        # (harness semantics main_base.py:299-302).
-        cur = jnp.concatenate([
-            st.humans, jnp.full((H, 2), HUMAN_SIZE, dtype),
-            jnp.zeros((H, 1), dtype), jnp.ones((H, 1), dtype)], axis=1)
-        dyn = dyn.at[:H, 0, :].set(cur)
-        # Steps 1..N: predictor slots (mu, std, angle 0, alpha).
-        pred = jnp.concatenate([
-            jnp.swapaxes(mu_pred, 0, 1),
-            jnp.swapaxes(std_pred, 0, 1),
-            jnp.zeros((K, N, 1), dtype),
-            jnp.swapaxes(alpha_pred, 0, 1)[..., None],
-        ], axis=2)
-        dyn = dyn.at[:K, 1:, :].set(pred)
-
+        dyn = assemble_dyn_obstacles(st.humans, prediction, cfg.Ndynobs,
+                                     cfg.ndynobs, N, dtype)
         return MpcParams(
             u_prev=st.u_prev, s0=st.robot, sN=window[-1], q=q_vec,
             ref_states=window,

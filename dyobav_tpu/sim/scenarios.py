@@ -17,6 +17,7 @@ import numpy as np
 from ..trackers.mpc_tracker import TrajectoryTracker
 from ..utils.geometry import polygon_halfspace_representation
 from .batch import FAR_COORD, Scenario
+from .fleet import FleetScenario
 from .harness import MainBase, scenario as preset_scenario
 
 
@@ -90,6 +91,118 @@ def build_scenario(base: MainBase, scenario_index: int | None = None,
         ref_traj=jnp.asarray(ref_arr), ref_len=jnp.asarray(n_ref, jnp.int32),
         all_stc=jnp.asarray(stc), all_polys=jnp.asarray(polys),
         human_starts=jnp.asarray(np.asarray(human_starts, np.float32)),
+        human_paths=jnp.asarray(paths_arr),
+        human_path_len=jnp.asarray(path_len),
+    )
+
+
+def _pad_ref(ref, ref_pad: int) -> tuple:
+    arr = np.zeros((ref_pad, 3), np.float32)
+    n_ref = min(len(ref), ref_pad)
+    arr[:n_ref] = np.asarray(ref[:n_ref], np.float32)
+    arr[n_ref:] = arr[n_ref - 1]
+    return arr, n_ref
+
+
+def synthetic_fleet_scenario(starts, goal_xys, base_speed: float, ts: float,
+                             human_starts=(), human_goals=(),
+                             ref_pad: int = 256, wp_pad: int = 8,
+                             max_obs: int = 10) -> FleetScenario:
+    """Obstacle-free R-robot scenario on straight-line references — the
+    fleet counterpart of a unit-test fixture (no map needed).
+
+    starts: (R, 3) robot poses; goal_xys: (R, 2) goal positions.
+    """
+    starts = np.asarray(starts, np.float32)
+    goal_xys = np.asarray(goal_xys, np.float32)
+    R = starts.shape[0]
+    refs, lens, goals = [], [], []
+    for i in range(R):
+        ref = TrajectoryTracker.get_ref_traj(
+            ts, [tuple(goal_xys[i])], starts[i], base_speed)
+        arr, n_ref = _pad_ref(ref, ref_pad)
+        refs.append(arr)
+        lens.append(n_ref)
+        goals.append([goal_xys[i, 0], goal_xys[i, 1], 0.0])
+
+    # Inert static-obstacle slots: zero halfspaces (indicator identically 0)
+    # + FAR polygons so closest-N selection is harmless.
+    stc = np.zeros((max_obs, 12), np.float32)
+    polys = np.full((max_obs, 4, 2), FAR_COORD, np.float32)
+
+    H = len(human_starts)
+    h_starts = (np.asarray(human_starts, np.float32).reshape(H, 2)
+                if H else np.zeros((0, 2), np.float32))
+    paths = np.full((H, wp_pad, 2), FAR_COORD, np.float32)
+    path_len = np.zeros((H,), np.int32)
+    for i in range(H):
+        paths[i, :] = np.asarray(human_goals[i], np.float32)
+        path_len[i] = 1
+
+    return FleetScenario(
+        robot_starts=jnp.asarray(starts),
+        goals=jnp.asarray(np.asarray(goals, np.float32)),
+        ref_trajs=jnp.asarray(np.stack(refs)),
+        ref_lens=jnp.asarray(np.asarray(lens, np.int32)),
+        all_stc=jnp.asarray(stc), all_polys=jnp.asarray(polys),
+        human_starts=jnp.asarray(h_starts),
+        human_paths=jnp.asarray(paths),
+        human_path_len=jnp.asarray(path_len),
+    )
+
+
+def build_fleet_scenario(base: MainBase,
+                         robot_path_nodes: Sequence[Sequence[int]],
+                         robot_starts: Sequence[np.ndarray] | None = None,
+                         human_path_nodes: Sequence[Sequence[int]] = (),
+                         human_starts: Sequence[np.ndarray] = (),
+                         ref_pad: int = 256, wp_pad: int = 8,
+                         max_obs: int = 64) -> FleetScenario:
+    """R-robot FleetScenario on the loaded warehouse map: one reference
+    trajectory per robot plus shared obstacle tensors."""
+    cfg = base.config_mpc
+    base_speed = base.config_robot.lin_vel_max * 0.8
+    refs, lens, starts, goals = [], [], [], []
+    for i, node_ids in enumerate(robot_path_nodes):
+        path = [tuple(base.ct2real(list(x)))
+                for x in base.net_graph.return_given_nodelist(node_ids)]
+        if robot_starts is not None:
+            start = np.asarray(robot_starts[i], np.float32)
+        else:
+            first = np.asarray(path[0], np.float32)
+            heading = math.atan2(path[1][1] - first[1], path[1][0] - first[0])
+            start = np.array([first[0], first[1], heading], np.float32)
+            path = path[1:]
+        ref = TrajectoryTracker.get_ref_traj(cfg.ts, path, start, base_speed)
+        arr, n_ref = _pad_ref(ref, ref_pad)
+        refs.append(arr)
+        lens.append(n_ref)
+        starts.append(start)
+        goals.append([path[-1][0], path[-1][1], 0.0])
+
+    stc, polys = _halfspace_tensor(base.geo_map.processed_obstacle_list,
+                                   cfg.nstcobs // 3, max_obs)
+
+    H = len(human_starts)
+    h_starts = (np.asarray(human_starts, np.float32).reshape(H, 2)
+                if H else np.zeros((0, 2), np.float32))
+    paths_arr = np.full((H, wp_pad, 2), FAR_COORD, np.float32)
+    path_len = np.zeros((H,), np.int32)
+    for i, node_ids in enumerate(human_path_nodes):
+        path = [tuple(base.ct2real(list(x)))
+                for x in base.net_graph.return_given_nodelist(node_ids)]
+        L = min(len(path), wp_pad)
+        paths_arr[i, :L] = np.asarray(path[:L], np.float32)
+        paths_arr[i, L:] = paths_arr[i, L - 1]
+        path_len[i] = L
+
+    return FleetScenario(
+        robot_starts=jnp.asarray(np.stack(starts)),
+        goals=jnp.asarray(np.asarray(goals, np.float32)),
+        ref_trajs=jnp.asarray(np.stack(refs)),
+        ref_lens=jnp.asarray(np.asarray(lens, np.int32)),
+        all_stc=jnp.asarray(stc), all_polys=jnp.asarray(polys),
+        human_starts=jnp.asarray(h_starts),
         human_paths=jnp.asarray(paths_arr),
         human_path_len=jnp.asarray(path_len),
     )
