@@ -55,7 +55,8 @@ def main() -> int:
     }
     inner, outer, later = profiles[os.environ.get("BENCH_PROFILE", "default")]
     scfg = SolverConfiguration(max_inner_iters=inner, max_outer_iters=outer,
-                               inner_iters_later=later)
+                               inner_iters_later=later,
+                               fused=os.environ.get("BENCH_FUSED", "1") != "0")
     bundle = build_mpc_solver(cfg, robot, scfg)
 
     # Randomized scenario batch: straight references with a lateral obstacle.

@@ -213,3 +213,6 @@ class SolverConfiguration:
     constraint_tol: float = 1e-3    # ALM infeasibility tolerance
     lbfgs_memory: int = 10
     dtype: Any = None               # default float32; jnp dtype override
+    fused: bool = True              # single-scan ALM (masked stage updates;
+                                    # ~4x faster compiles, identical controls)
+                                    # vs Python-unrolled outer stages

@@ -27,6 +27,7 @@ from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..configs import SolverConfiguration
 
@@ -136,6 +137,118 @@ def make_alm_newton_solver(
         max(scfg.inner_iters_later, 4)
     ] * (scfg.max_outer_iters - 1)
 
+    def alm_update(u, y, c, prev_inf):
+        """One multiplier/penalty update from the current iterate (OpEn
+        semantics: escalate c by the update factor unless infeasibility
+        dropped 10x)."""
+        _, f1, f2 = objective(u)
+        shifted = f1 + y / c
+        y_new = y + c * (f1 - proj_rect(shifted))
+        viol1 = jnp.max(jnp.abs(f1 - proj_rect(f1)))
+        inf_new = jnp.maximum(viol1, jnp.max(jnp.abs(f2)))
+        improved = inf_new <= 0.1 * prev_inf
+        c_new = jnp.where(improved, c, c * scfg.penalty_update_factor)
+        return y_new, c_new, inf_new
+
+    def solve_fused(u0: jnp.ndarray) -> NewtonResult:
+        """Single-scan ALM: all stages fused into one `lax.scan` with the
+        multiplier/penalty updates applied at masked stage boundaries.
+
+        Numerically equivalent to the staged path (same iteration budget,
+        same update points); the (ψ, g) refresh each stage needs rides the
+        gradient evaluation the Newton step already ends with, so the only
+        extra per-iteration work is one gradient-free objective eval.  The
+        HLO is one scan body instead of `max_outer_iters` unrolled copies.
+        """
+        dtype = u0.dtype
+        total = sum(n_stage_iters)
+        boundary = np.zeros(total, bool)
+        boundary[np.cumsum(n_stage_iters) - 1] = True
+
+        u = proj_box(u0)
+        y0 = jnp.zeros_like(c_lo).astype(dtype)
+        c0 = jnp.asarray(scfg.initial_penalty, dtype)
+        psi0, g0 = merit_grad(u, y0, c0)
+
+        def body(carry, is_boundary):
+            (u, psi_u, g_u, lam, done, y, c, prev_inf, outer_done,
+             r_last) = carry
+            frozen = done | outer_done
+
+            H = merit_hess(u, y, c)
+            at_lo = (u <= u_lo + bound_eps) & (g_u > 0)
+            at_hi = (u >= u_hi - bound_eps) & (g_u < 0)
+            free = jnp.logical_not(at_lo | at_hi).astype(dtype)
+            M = free[:, None] * free[None, :]
+            H_free = H * M + (1.0 - jnp.diag(free)) * eye
+            g_free = g_u * free
+            diag_scale = jnp.maximum(jnp.abs(jnp.diag(H_free)), 1.0)
+
+            def candidate(mult):
+                lam_c = lam * mult
+                A = H_free + lam_c * jnp.diag(diag_scale)
+                d = -jax.scipy.linalg.solve(A, g_free, assume_a="pos")
+                u_c = proj_box(u + d)
+                psi_c = merit_fn(u_c, y, c)
+                valid = jnp.all(jnp.isfinite(u_c)) & jnp.isfinite(psi_c)
+                return u_c, jnp.where(valid, psi_c, jnp.inf), lam_c
+
+            cu, cpsi, clam = jax.vmap(candidate)(lm_ladder.astype(dtype))
+            best = jnp.argmin(cpsi)
+            improved = cpsi[best] < psi_u - 1e-12
+            move = improved & jnp.logical_not(frozen)
+            u_new = jnp.where(move, cu[best], u)
+            lam_new = jnp.where(
+                improved,
+                jnp.maximum(clam[best] * 0.5, 1e-10),
+                jnp.minimum(lam * 100.0, 1e10),
+            )
+
+            # Masked ALM stage-boundary update.
+            y_b, c_b, inf_b = alm_update(u_new, y, c, prev_inf)
+            upd = is_boundary & jnp.logical_not(outer_done)
+            y_new = jnp.where(upd, y_b, y)
+            c_new = jnp.where(upd, c_b, c)
+            prev_inf_new = jnp.where(upd, inf_b, prev_inf)
+            outer_done_new = outer_done | (upd
+                                           & (inf_b <= scfg.constraint_tol))
+
+            # Gradient at the new iterate under the (possibly updated)
+            # multipliers — doubles as the next stage's fresh start.
+            psi_new, g_new = merit_grad(u_new, y_new, c_new)
+            r = u_new - proj_box(u_new - g_new)
+            r_norm = jnp.max(jnp.abs(r))
+            done_new = done | (r_norm <= scfg.tol) | (
+                jnp.logical_not(improved) & (lam >= 1e8))
+            # Reset the inner state for the next stage.
+            done_new = jnp.where(upd, False, done_new)
+            lam_new = jnp.where(upd, jnp.asarray(1e-3, dtype), lam_new)
+            # Residual bookkeeping: on boundary iterations g_new is under the
+            # freshly escalated (y, c) — large by construction — while the
+            # staged path records each stage's residual under its own
+            # multipliers.  Keep the previous iteration's value there (exact
+            # once the inner loop has converged, since u is then frozen).
+            r_last_new = jnp.where(outer_done | upd, r_last, r_norm)
+
+            return (u_new, psi_new, g_new, lam_new, done_new, y_new, c_new,
+                    prev_inf_new, outer_done_new, r_last_new), None
+
+        init = (u, psi0, g0, jnp.asarray(1e-3, dtype), jnp.array(False),
+                y0, c0, jnp.array(0.0, dtype), jnp.array(False),
+                jnp.array(jnp.inf, dtype))
+        carry, _ = jax.lax.scan(body, init, jnp.asarray(boundary))
+        u, _, _, _, _, _, _, _, _, r_final = carry
+        c = carry[6]
+
+        f, f1, f2 = objective(u)
+        viol1 = jnp.max(jnp.abs(f1 - proj_rect(f1)))
+        infeas = jnp.maximum(viol1, jnp.max(jnp.abs(f2)))
+        r_ok = r_final <= 100 * scfg.tol * jnp.maximum(1.0, jnp.abs(f) * 1e-3)
+        return NewtonResult(
+            u=u, cost=f, residual=r_final, infeasibility=infeas, penalty=c,
+            converged=(infeas <= scfg.constraint_tol) & r_ok,
+        )
+
     def solve(u0: jnp.ndarray) -> NewtonResult:
         dtype = u0.dtype
         u = proj_box(u0)
@@ -147,16 +260,7 @@ def make_alm_newton_solver(
 
         for n_iters in n_stage_iters:
             u_new, r_norm = inner_solve(u, y, c, n_iters)
-
-            _, f1, f2 = objective(u_new)
-            shifted = f1 + y / c
-            y_new = y + c * (f1 - proj_rect(shifted))
-            viol1 = jnp.max(jnp.abs(f1 - proj_rect(f1)))
-            inf_new = jnp.maximum(viol1, jnp.max(jnp.abs(f2)))
-
-            improved = inf_new <= 0.1 * prev_inf
-            c_new = jnp.where(improved, c, c * scfg.penalty_update_factor)
-
+            y_new, c_new, inf_new = alm_update(u_new, y, c, prev_inf)
             keep = outer_done
             u = jnp.where(keep, u, u_new)
             y = jnp.where(keep, y, y_new)
@@ -177,4 +281,4 @@ def make_alm_newton_solver(
             converged=(infeas <= scfg.constraint_tol) & r_ok,
         )
 
-    return solve
+    return solve_fused if scfg.fused else solve

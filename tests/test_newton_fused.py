@@ -1,0 +1,66 @@
+"""Fused single-scan ALM vs the staged (Python-unrolled) path.
+
+Same iteration budget, same multiplier/penalty update points — the two
+program shapes must produce equivalent controls.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from dyobav_tpu.configs import (CircularRobotSpecification, MpcConfiguration,
+                                SolverConfiguration)
+from dyobav_tpu.ops.engine import build_mpc_solver
+from dyobav_tpu.ops.params import empty_params, pack, tuning_vector
+
+CFG = MpcConfiguration()
+ROBOT = CircularRobotSpecification()
+
+
+def _problem(seed: int):
+    """A straight reference with a lateral obstacle (bench.py scenario)."""
+    rng = np.random.default_rng(seed)
+    N = CFG.N_hor
+    p = empty_params(CFG)
+    x0, y0 = rng.uniform(-5, 5, 2)
+    heading = rng.uniform(-np.pi, np.pi)
+    ref = np.zeros((N, 3), np.float32)
+    ref[:, 0] = x0 + np.cos(heading) * 0.24 * np.arange(1, N + 1)
+    ref[:, 1] = y0 + np.sin(heading) * 0.24 * np.arange(1, N + 1)
+    ref[:, 2] = heading
+    ell = np.zeros((CFG.Ndynobs, N + 1, CFG.ndynobs), np.float32)
+    ox = x0 + np.cos(heading) * 2.2 - np.sin(heading) * 0.3
+    oy = y0 + np.sin(heading) * 2.2 + np.cos(heading) * 0.3
+    ell[0, :, :] = [ox, oy, 0.4, 0.4, 0.0, 1.0]
+    p = p._replace(
+        u_prev=jnp.array([1.2, 0.0]),
+        s0=jnp.array([x0, y0, heading], jnp.float32),
+        sN=jnp.asarray(ref[-1], jnp.float32),
+        q=jnp.asarray(tuning_vector(CFG), jnp.float32),
+        ref_states=jnp.asarray(ref),
+        ref_speed=jnp.full((N,), 1.2, jnp.float32),
+        dyn_obs=jnp.asarray(ell),
+        q_stc=jnp.full((N,), 10.0, jnp.float32),
+        q_dyn=jnp.full((N,), 10.0, jnp.float32),
+    )
+    return jnp.asarray(np.asarray(pack(p)))
+
+
+def test_fused_matches_staged():
+    base = dict(max_inner_iters=8, max_outer_iters=3, inner_iters_later=4)
+    staged = build_mpc_solver(CFG, ROBOT,
+                              SolverConfiguration(fused=False, **base))
+    fused = build_mpc_solver(CFG, ROBOT,
+                             SolverConfiguration(fused=True, **base))
+    u0 = jnp.tile(jnp.array([1.2, 0.0], jnp.float32), CFG.N_hor)
+    for seed in range(3):
+        z = _problem(seed)
+        a = staged.solve(z, u0)
+        b = fused.solve(z, u0)
+        # Identical update schedule → same controls to float32 noise.
+        np.testing.assert_allclose(np.asarray(b.u), np.asarray(a.u),
+                                   atol=5e-4)
+        np.testing.assert_allclose(float(b.cost), float(a.cost),
+                                   rtol=1e-4, atol=1e-4)
+        # The fused path records the stationarity residual one iteration
+        # earlier at stage boundaries (see newton.py), so its convergence
+        # flag may only be *more* conservative than the staged one.
+        assert bool(a.exit_ok) or not bool(b.exit_ok)
