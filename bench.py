@@ -43,6 +43,9 @@ def main() -> int:
     batch = int(os.environ.get("BENCH_BATCH", "1024"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
 
+    if os.environ.get("BENCH_MODE") == "step":
+        return bench_full_step(iters)
+
     cfg = MpcConfiguration()
     robot = CircularRobotSpecification()
     # Production solve budget: matches the receding-horizon operating point
@@ -127,6 +130,70 @@ def main() -> int:
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / 10.0, 1),
+    }))
+    return 0
+
+
+def bench_full_step(iters: int) -> int:
+    """p95 latency of ONE full neural control step — SWTA CNN prediction
+    (20 offsets), on-device cluster-Gaussian-fit, constraint assembly, and
+    the NMPC solve — as a single device program (BASELINE config #3).
+
+    The reference budget is ts = 0.2 s per control step (mpc_default.yaml),
+    with the three stages split across GPU (torch), CPU (sklearn DBSCAN)
+    and CPU (Rust solver); here the whole step is one jitted call.
+    Requires the trained checkpoint (Model/wsd_1t20*) and the warehouse map.
+    """
+    import json
+    import time
+
+    import jax.numpy as jnp
+
+    from dyobav_tpu.configs import SolverConfiguration, WtaNetConfiguration
+    from dyobav_tpu.models.manager import NetworkManager
+    from dyobav_tpu.predictors.mmp import ObstacleSnapper
+    from dyobav_tpu.sim.batch import (Scenario, build_batch_sim,
+                                      make_wta_predictor)
+    from dyobav_tpu.sim.harness import MainBase
+    from dyobav_tpu.sim.scenarios import build_scenario
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    ckpt = os.environ.get("BENCH_CKPT",
+                          os.path.join(repo, "Model", "wsd_1t20"))
+
+    base = MainBase(max_run_time_step=3, evaluation=True, seed=0)
+    sc = build_scenario(base, scenario_index=0)
+
+    mgr = NetworkManager(WtaNetConfiguration(), verbose=False)
+    mgr.build_network()
+    mgr.load_checkpoint(ckpt)
+    variables = {"params": mgr.state.params,
+                 "batch_stats": mgr.state.batch_stats}
+    net_apply = lambda v, images: mgr.state.apply_fn(v, images, train=False)
+    snapper = ObstacleSnapper(255.0 - base.ref_map)
+    pred = make_wta_predictor(net_apply, variables, base.ref_map,
+                              base.ct2real, n_hor=base.config_mpc.N_hor,
+                              snap_nearest=snapper.tables(),
+                              scale2nn=base.sim_config.scale2nn)
+
+    run = build_batch_sim(base.config_mpc, base.config_robot,
+                          SolverConfiguration(), n_steps=1, predictor=pred)
+    batch = Scenario(*[jnp.stack([x]) for x in sc])
+    seeds = jnp.arange(1)
+    run(batch, seeds).final_state.block_until_ready()   # compile
+
+    lat = []
+    for _ in range(max(iters, 20)):
+        t0 = time.perf_counter()
+        run(batch, seeds).final_state.block_until_ready()
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    p95 = lat[int(0.95 * (len(lat) - 1))]
+    print(json.dumps({
+        "metric": "control_step_latency_p95",
+        "value": round(p95 * 1000, 2),
+        "unit": "ms",
+        "vs_baseline": round(200.0 / (p95 * 1000), 1),  # vs 0.2 s budget
     }))
     return 0
 
