@@ -77,3 +77,48 @@ class UnicycleModel(MotionModel):
 class OmnidirectionalModel(MotionModel):
     def __init__(self, ts: float):
         super().__init__(omnidirectional_step, 3, 3, ts)
+
+
+def reciprocating_state(kt, speed: float, ts: float, p1, p2):
+    """Preset back-and-forth motion between p1 and p2, starting at p1
+    (reference `reciprocating_model`, motion_model.py:165-186): position is
+    a pure function of the time step, so it traces under jit/scan.
+
+    Args:
+        kt: current time step (int or traced int array).
+        speed: linear speed along the segment.
+    Returns:
+        (3,) state [x, y, theta].
+    """
+    p1 = jnp.asarray(p1, jnp.float32)
+    p2 = jnp.asarray(p2, jnp.float32)
+    period = jnp.floor(2.0 * jnp.linalg.norm(p1 - p2) / speed / ts) + 1.0
+    progress = (kt % period) / period
+    fwd = progress < 0.5
+    theta = jnp.where(
+        fwd,
+        jnp.arctan2(p2[1] - p1[1], p2[0] - p1[0]),
+        jnp.arctan2(p1[1] - p2[1], p1[0] - p2[0]))
+    w1 = 2.0 * jnp.abs(0.5 - progress)
+    w2 = 2.0 * (0.5 - jnp.abs(0.5 - progress))
+    xy = w1 * p1 + w2 * p2
+    return jnp.concatenate([xy, theta[None]])
+
+
+class ReciprocatingModel(MotionModel):
+    """Preset reciprocating agent (reference motion_model.py:102-127):
+    `model(kt)` returns the state at time step kt; action = (speed,)."""
+
+    def __init__(self, ts: float, p1: tuple, p2: tuple, speed: float = 1.0):
+        super().__init__(
+            lambda state, action, ts_: reciprocating_state(
+                state, action[0], ts_, p1, p2),
+            3, 1, ts)
+        self.p1, self.p2, self.speed = p1, p2, speed
+
+    def __call__(self, kt, action=None):
+        a = jnp.asarray([self.speed] if action is None else action)
+        return self.fn(kt, a, self.ts)
+
+    def init_state(self):
+        return jnp.array([self.p1[0], self.p1[1], 0.0], jnp.float32)

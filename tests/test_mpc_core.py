@@ -148,3 +148,20 @@ def test_dynamic_obstacle_raises_cost_and_f2():
     br_obs = costs.evaluate(u, p_obs, CFG, ROBOT)
     assert float(br_obs.objective) > float(br_free.objective) + 1.0
     assert float(jnp.max(br_obs.f2)) > 0  # rollout passes through the ellipse
+
+
+def test_reciprocating_model_round_trip():
+    """Preset back-and-forth agent (reference motion_model.py:165-186):
+    starts at p1, reaches p2 at half period, returns to p1."""
+    from dyobav_tpu.motion.models import ReciprocatingModel
+    m = ReciprocatingModel(0.2, (0.0, 0.0), (2.0, 0.0), speed=1.0)
+    period = int(2 * 2.0 / 1.0 / 0.2) + 1
+    s0 = np.asarray(m(0))
+    s_half = np.asarray(m(period // 2))
+    s_full = np.asarray(m(period))
+    np.testing.assert_allclose(s0[:2], [0, 0], atol=1e-6)
+    assert s_half[0] > 1.5
+    np.testing.assert_allclose(s_full[:2], [0, 0], atol=1e-5)
+    # heading flips after the turnaround
+    assert abs(np.asarray(m(1))[2]) < 1e-6
+    assert abs(abs(np.asarray(m(period - 2))[2]) - np.pi) < 1e-6
