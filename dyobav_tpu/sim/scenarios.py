@@ -258,3 +258,43 @@ def random_scenarios(base: MainBase, n: int, n_humans: int = 1,
         scenarios += scenarios[: n - len(scenarios)]
     return Scenario(*[jnp.stack([s[i] for s in scenarios])
                       for i in range(len(scenarios[0]))])
+
+
+def random_fleet_scenarios(base: MainBase, n: int, n_robots: int = 2,
+                           n_humans: int = 0, seed: int = 0,
+                           walk_len: int = 3, **kw) -> FleetScenario:
+    """A batch of randomized R-robot fleet scenarios (stacked FleetScenario
+    pytree): each robot gets an independent random graph walk; robot starts
+    face their first path segment."""
+    rng = random.Random(seed)
+    nodes = list(base.net_graph.nodes)
+
+    def random_id_walk() -> list:
+        ids = [rng.choice(nodes)]
+        while len(ids) <= walk_len:
+            nbrs = [x for x in base.net_graph.adj[ids[-1]] if x not in ids]
+            if not nbrs:
+                break
+            ids.append(rng.choice(nbrs))
+        return ids
+
+    scenarios = []
+    attempts = 0
+    while len(scenarios) < n and attempts < 40 * n:
+        attempts += 1
+        walks = [random_id_walk() for _ in range(n_robots)]
+        if any(len(w) < 2 for w in walks):
+            continue
+        h_paths, h_starts = [], []
+        for _ in range(n_humans):
+            h_ids = random_id_walk()
+            h_paths.append(h_ids)
+            x, y = base.net_graph.get_node_coord(h_ids[0])
+            h_starts.append(np.array(base.ct2real([x, y]))[:2])
+        scenarios.append(build_fleet_scenario(
+            base, robot_path_nodes=walks,
+            human_path_nodes=h_paths, human_starts=h_starts, **kw))
+    if len(scenarios) < n:
+        scenarios += scenarios[: n - len(scenarios)]
+    return FleetScenario(*[jnp.stack([s[i] for s in scenarios])
+                           for i in range(len(scenarios[0]))])

@@ -20,6 +20,8 @@ def main(argv=None) -> int:
     ap.add_argument("--n", type=int, default=64, help="number of scenarios")
     ap.add_argument("--steps", type=int, default=120)
     ap.add_argument("--humans", type=int, default=1)
+    ap.add_argument("--robots", type=int, default=1,
+                    help=">1 switches to the decentralized fleet sim")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--devices", type=int, default=0,
                     help="mesh size (0 = all available)")
@@ -33,17 +35,24 @@ def main(argv=None) -> int:
     from ..configs import SolverConfiguration
     from ..parallel.mesh import make_mesh, pad_to_multiple, shard_batch
     from .batch import Scenario, build_batch_sim
+    from .fleet import FleetScenario, build_fleet_sim
     from .harness import MainBase
-    from .scenarios import random_scenarios
+    from .scenarios import random_fleet_scenarios, random_scenarios
 
     base = MainBase(max_run_time_step=args.steps, evaluation=True,
                     seed=args.seed)
-    batch = random_scenarios(base, args.n, n_humans=args.humans,
-                             seed=args.seed)
+    fleet = args.robots > 1
+    if fleet:
+        batch = random_fleet_scenarios(base, args.n, n_robots=args.robots,
+                                       n_humans=args.humans, seed=args.seed)
+    else:
+        batch = random_scenarios(base, args.n, n_humans=args.humans,
+                                 seed=args.seed)
 
     n_dev = args.devices or len(jax.devices())
     mesh = make_mesh(n_dev)
-    padded = Scenario(*[
+    cls = FleetScenario if fleet else Scenario
+    padded = cls(*[
         jnp.asarray(pad_to_multiple(np.asarray(x), n_dev)[0])
         for x in batch])
     true_n = args.n
@@ -52,9 +61,13 @@ def main(argv=None) -> int:
     scfg = SolverConfiguration(max_inner_iters=args.inner_iters,
                                max_outer_iters=args.outer_iters,
                                inner_iters_later=max(args.inner_iters // 2, 3))
-    run = build_batch_sim(base.config_mpc, base.config_robot, scfg,
-                          n_humans=args.humans, n_steps=args.steps)
-    seeds = jnp.arange(padded.robot_start.shape[0])
+    if fleet:
+        run = build_fleet_sim(base.config_mpc, base.config_robot, scfg,
+                              n_robots=args.robots, n_steps=args.steps)
+    else:
+        run = build_batch_sim(base.config_mpc, base.config_robot, scfg,
+                              n_humans=args.humans, n_steps=args.steps)
+    seeds = jnp.arange(padded[0].shape[0])
 
     t0 = time.perf_counter()
     res = run(padded, seeds)
@@ -70,11 +83,13 @@ def main(argv=None) -> int:
     collided = np.asarray(res.collided)[:true_n]
     clearance = np.asarray(res.min_clearance)[:true_n]
     steps_used = np.asarray(res.steps_used)[:true_n]
-    total_solves = int(np.sum(steps_used)) or true_n * args.steps
+    if collided.ndim > 1:                     # fleet: per-robot flags
+        collided = collided.any(axis=1)
 
-    print(json.dumps({
+    out = {
         "n_scenarios": true_n,
         "devices": n_dev,
+        "robots": args.robots,
         "success_rate": float(success.mean()),
         "collision_rate": float(collided.mean()),
         "timeout_rate": float(1.0 - success.mean() - collided.mean()),
@@ -83,8 +98,14 @@ def main(argv=None) -> int:
         "steps_used_mean": float(steps_used.mean()),
         "wall_s_first": round(first, 2),
         "wall_s_steady": round(steady, 2),
-        "control_steps_per_s": round(true_n * args.steps / steady, 1),
-    }))
+        "control_steps_per_s": round(
+            true_n * args.steps * args.robots / steady, 1),
+    }
+    if fleet:
+        inter = np.asarray(res.min_inter_robot)[:true_n]
+        out["min_inter_robot_mean"] = float(
+            inter[np.isfinite(inter)].mean()) if np.isfinite(inter).any() else None
+    print(json.dumps(out))
     return 0
 
 
