@@ -113,6 +113,18 @@ class NetworkManager:
             images, train=False)
         return losses.meta_loss(outputs, labels, losses.loss_mse, k_top=k_top)
 
+    @partial(jax.jit, static_argnames=("self", "k_top"))
+    def _eval_step_fused(self, state: TrainState, trajs, offsets, labels,
+                         ref_map, k_top: int):
+        """Validation step with on-device rasterization — avoids the
+        ~90 MB/batch host→device image transfer of the host path."""
+        from .heatmap import traj_to_input_batch
+        images = traj_to_input_batch(trajs, ref_map, offsets)
+        outputs = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False)
+        return losses.meta_loss(outputs, labels, losses.loss_mse, k_top=k_top)
+
     def inference(self, input_data: np.ndarray) -> np.ndarray:
         """Batched no-grad forward → (B, M, C) hypotheses
         (network_manager.py:102-115)."""
@@ -184,13 +196,15 @@ class NetworkManager:
                     return
                 self.Loss.append(loss)
                 if (bi + 1) % val_after_batch == 0:
-                    self.Val_loss.append(self._validate(data_handler, rasterize,
-                                                       k_top))
+                    self.Val_loss.append(self._validate(
+                        data_handler, rasterize, k_top,
+                        shared_map=shared_map, ref_maps=ref_maps))
                 if self.vb and bi % 10 == 0:
                     print(f"\rEpoch {ep + 1}/{epochs} k={k_top} "
                           f"batch {bi + 1}/{n_batches} loss={loss:.4f}   ",
                           end="")
-            val = self._validate(data_handler, rasterize, k_top)
+            val = self._validate(data_handler, rasterize, k_top,
+                                 shared_map=shared_map, ref_maps=ref_maps)
             self.Val_loss.append(val)
             if checkpoint_dir:
                 self.save_checkpoint(checkpoint_dir, ep)
@@ -230,12 +244,23 @@ class NetworkManager:
                 jnp.asarray(batch["offset"]), jnp.asarray(batch["label"]),
                 ref_maps[batch["video"][0]])
 
-    def _validate(self, data_handler, rasterize, k_top: int) -> float:
+    def _validate(self, data_handler, rasterize, k_top: int,
+                  shared_map=None, ref_maps=None) -> float:
         vals = []
         for batch in data_handler.val_batches(max_batches=2):
-            images, labels = rasterize(batch)
-            vals.append(float(self._eval_step(
-                self.state, jnp.asarray(images), jnp.asarray(labels), k_top)))
+            the_map = shared_map
+            if the_map is None and ref_maps and len(set(batch["video"])) == 1:
+                the_map = ref_maps[batch["video"][0]]
+            if the_map is not None:
+                vals.append(float(self._eval_step_fused(
+                    self.state, jnp.asarray(batch["traj"]),
+                    jnp.asarray(batch["offset"]),
+                    jnp.asarray(batch["label"]), the_map, k_top)))
+            else:
+                images, labels = rasterize(batch)
+                vals.append(float(self._eval_step(
+                    self.state, jnp.asarray(images), jnp.asarray(labels),
+                    k_top)))
         return float(np.mean(vals)) if vals else np.nan
 
     # ------------------------------------------------------------ checkpoints
