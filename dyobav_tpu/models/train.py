@@ -34,6 +34,16 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--steps-per-epoch", type=int, default=0,
                     help="cap batches per epoch (0 = full epoch)")
+    ap.add_argument("--resume", default="",
+                    help="checkpoint to load before training "
+                         "(continuation / fine-tuning run)")
+    ap.add_argument("--k-top", type=int, default=0,
+                    help="fixed WTA k_top for every epoch (0 = evolving "
+                         "schedule). k=1 sharpens a pre-trained model's "
+                         "hypothesis spread.")
+    ap.add_argument("--recalibrate-bn", type=int, default=100,
+                    help="BatchNorm running-stat refresh batches after "
+                         "training (0 = skip)")
     args = ap.parse_args(argv)
 
     ds = WsdDataset(args.data)
@@ -53,16 +63,25 @@ def main(argv=None) -> int:
 
     mgr = NetworkManager(cfg, seed=args.seed)
     mgr.build_network(input_shape=(1, H, W, cfg.input_channel))
+    if args.resume:
+        mgr.load_checkpoint(args.resume)
+        print(f"Resumed from {args.resume}")
     n_params = sum(int(np.prod(p.shape)) for p in
                    __import__("jax").tree.leaves(mgr.state.params))
     print(f"Model: {n_params} parameters")
 
-    k_top_list = losses.default_k_top_schedule(args.epochs, cfg.num_hypos)
+    if args.k_top:
+        k_top_list = [args.k_top] * args.epochs
+    else:
+        k_top_list = losses.default_k_top_schedule(args.epochs, cfg.num_hypos)
     t0 = time.time()
     mgr.train(dh, args.batch_size, args.epochs, k_top_list=k_top_list,
               checkpoint_dir=os.path.dirname(args.out) or ".")
     hours = (time.time() - t0) / 3600
     print(f"\nTraining done: {n_params} parameters. Cost time: {hours:.4f}h.")
+
+    if mgr.complete and args.recalibrate_bn:
+        mgr.recalibrate_batch_stats(dh, n_batches=args.recalibrate_bn)
 
     if mgr.complete:
         mgr.save_checkpoint(os.path.dirname(args.out) or ".",

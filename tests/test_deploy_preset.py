@@ -58,3 +58,21 @@ def test_navigation_node_loop():
                                              np.zeros((20, 3)))
     action = node.control_tick()
     assert action[0] == 0.0 and action[1] == 0.0
+
+
+def test_ros_adapter_pure_conversions():
+    """ROS adapter's message math is testable without rospy."""
+    import math
+    from types import SimpleNamespace
+
+    from dyobav_tpu.sim.ros_adapter import odometry_to_pose, quaternion_yaw
+
+    # yaw=pi/2 quaternion
+    yaw = quaternion_yaw(0.0, 0.0, math.sin(math.pi / 4), math.cos(math.pi / 4))
+    assert abs(yaw - math.pi / 2) < 1e-9
+
+    msg = SimpleNamespace(pose=SimpleNamespace(pose=SimpleNamespace(
+        position=SimpleNamespace(x=1.5, y=-2.0),
+        orientation=SimpleNamespace(x=0.0, y=0.0, z=0.0, w=1.0))))
+    pose = odometry_to_pose(msg)
+    assert pose == {"x": 1.5, "y": -2.0, "theta": 0.0}
