@@ -53,12 +53,15 @@ def main() -> int:
     # exhaustive independent solver: 0.0 at the default profile, 2.5e-4 at
     # the lean profile (scripts/parity_check.py study).
     profiles = {
-        "default": (12, 4, 5),
-        "lean": (6, 3, 3),
+        "default": (12, 4, 5, 1),
+        "lean": (6, 3, 3, 1),
+        "ultralean": (4, 3, 2, 1),   # closed-loop cost gap 0.0 over 5 steps
+        "chord": (3, 2, 2, 2),       # 2 Newton updates per Hessian refresh
     }
-    inner, outer, later = profiles[os.environ.get("BENCH_PROFILE", "default")]
+    inner, outer, later, sub = profiles[
+        os.environ.get("BENCH_PROFILE", "default")]
     scfg = SolverConfiguration(max_inner_iters=inner, max_outer_iters=outer,
-                               inner_iters_later=later,
+                               inner_iters_later=later, newton_substeps=sub,
                                fused=os.environ.get("BENCH_FUSED", "1") != "0")
     bundle = build_mpc_solver(cfg, robot, scfg)
 

@@ -216,3 +216,10 @@ class SolverConfiguration:
     fused: bool = True              # single-scan ALM (masked stage updates;
                                     # ~4x faster compiles, identical controls)
                                     # vs Python-unrolled outer stages
+    newton_substeps: int = 1        # Newton updates per Hessian refresh
+                                    # (chord method): the exact Hessian is
+                                    # ~90% of per-iteration compute, so K>1
+                                    # trades slightly staler curvature for
+                                    # nearly K-fold cheaper updates.  Each
+                                    # configured "iteration" performs K
+                                    # damped updates sharing one Hessian.

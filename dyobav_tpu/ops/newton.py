@@ -170,39 +170,53 @@ def make_alm_newton_solver(
         c0 = jnp.asarray(scfg.initial_penalty, dtype)
         psi0, g0 = merit_grad(u, y0, c0)
 
+        n_substeps = max(int(getattr(scfg, "newton_substeps", 1)), 1)
+
         def body(carry, is_boundary):
             (u, psi_u, g_u, lam, done, y, c, prev_inf, outer_done,
              r_last) = carry
             frozen = done | outer_done
 
+            # One exact Hessian per scan iteration; `newton_substeps` damped
+            # updates share it (chord method).  The active-set mask and the
+            # gradient ARE refreshed each substep — only curvature is stale.
             H = merit_hess(u, y, c)
-            at_lo = (u <= u_lo + bound_eps) & (g_u > 0)
-            at_hi = (u >= u_hi - bound_eps) & (g_u < 0)
-            free = jnp.logical_not(at_lo | at_hi).astype(dtype)
-            M = free[:, None] * free[None, :]
-            H_free = H * M + (1.0 - jnp.diag(free)) * eye
-            g_free = g_u * free
-            diag_scale = jnp.maximum(jnp.abs(jnp.diag(H_free)), 1.0)
 
-            def candidate(mult):
-                lam_c = lam * mult
-                A = H_free + lam_c * jnp.diag(diag_scale)
-                d = -jax.scipy.linalg.solve(A, g_free, assume_a="pos")
-                u_c = proj_box(u + d)
-                psi_c = merit_fn(u_c, y, c)
-                valid = jnp.all(jnp.isfinite(u_c)) & jnp.isfinite(psi_c)
-                return u_c, jnp.where(valid, psi_c, jnp.inf), lam_c
+            def substep(u, psi_u, g_u, lam):
+                at_lo = (u <= u_lo + bound_eps) & (g_u > 0)
+                at_hi = (u >= u_hi - bound_eps) & (g_u < 0)
+                free = jnp.logical_not(at_lo | at_hi).astype(dtype)
+                M = free[:, None] * free[None, :]
+                H_free = H * M + (1.0 - jnp.diag(free)) * eye
+                g_free = g_u * free
+                diag_scale = jnp.maximum(jnp.abs(jnp.diag(H_free)), 1.0)
 
-            cu, cpsi, clam = jax.vmap(candidate)(lm_ladder.astype(dtype))
-            best = jnp.argmin(cpsi)
-            improved = cpsi[best] < psi_u - 1e-12
-            move = improved & jnp.logical_not(frozen)
-            u_new = jnp.where(move, cu[best], u)
-            lam_new = jnp.where(
-                improved,
-                jnp.maximum(clam[best] * 0.5, 1e-10),
-                jnp.minimum(lam * 100.0, 1e10),
-            )
+                def candidate(mult):
+                    lam_c = lam * mult
+                    A = H_free + lam_c * jnp.diag(diag_scale)
+                    d = -jax.scipy.linalg.solve(A, g_free, assume_a="pos")
+                    u_c = proj_box(u + d)
+                    psi_c = merit_fn(u_c, y, c)
+                    valid = jnp.all(jnp.isfinite(u_c)) & jnp.isfinite(psi_c)
+                    return u_c, jnp.where(valid, psi_c, jnp.inf), lam_c
+
+                cu, cpsi, clam = jax.vmap(candidate)(lm_ladder.astype(dtype))
+                best = jnp.argmin(cpsi)
+                improved = cpsi[best] < psi_u - 1e-12
+                move = improved & jnp.logical_not(frozen)
+                u_new = jnp.where(move, cu[best], u)
+                lam_new = jnp.where(
+                    improved,
+                    jnp.maximum(clam[best] * 0.5, 1e-10),
+                    jnp.minimum(lam * 100.0, 1e10),
+                )
+                return u_new, lam_new, improved
+
+            u_new, lam_new, improved = substep(u, psi_u, g_u, lam)
+            for _ in range(n_substeps - 1):
+                psi_mid, g_mid = merit_grad(u_new, y, c)
+                u_new, lam_new, improved = substep(u_new, psi_mid, g_mid,
+                                                   lam_new)
 
             # Masked ALM stage-boundary update.
             y_b, c_b, inf_b = alm_update(u_new, y, c, prev_inf)

@@ -37,6 +37,8 @@ def main() -> int:
                     help="override SolverConfiguration.max_inner_iters")
     ap.add_argument("--outer-iters", type=int, default=None)
     ap.add_argument("--later-iters", type=int, default=None)
+    ap.add_argument("--substeps", type=int, default=1,
+                    help="Newton updates per Hessian refresh (chord method)")
     args = ap.parse_args()
 
     import jax
@@ -55,7 +57,8 @@ def main() -> int:
         scfg = SolverConfiguration(
             max_inner_iters=args.inner_iters,
             max_outer_iters=args.outer_iters or 4,
-            inner_iters_later=args.later_iters or max(args.inner_iters // 2, 3))
+            inner_iters_later=args.later_iters or max(args.inner_iters // 2, 3),
+            newton_substeps=args.substeps)
     base = MainBase(max_run_time_step=args.steps, evaluation=True, seed=0,
                     solver_config=scfg)
     robot, humans = base._prepare_agents()

@@ -64,3 +64,28 @@ def test_fused_matches_staged():
         # earlier at stage boundaries (see newton.py), so its convergence
         # flag may only be *more* conservative than the staged one.
         assert bool(a.exit_ok) or not bool(b.exit_ok)
+
+
+def test_chord_substeps_reach_same_solution():
+    """K Newton updates per Hessian refresh (newton_substeps, the chord
+    method) must land on the same fixed point as full Newton given an
+    equivalent update budget — only convergence *rate* per Hessian differs.
+    The exact Hessian is ~90% of per-iteration compute, so this is the
+    throughput lever; here we pin its numerics."""
+    full = build_mpc_solver(CFG, ROBOT, SolverConfiguration(
+        max_inner_iters=8, max_outer_iters=3, inner_iters_later=4))
+    chord = build_mpc_solver(CFG, ROBOT, SolverConfiguration(
+        max_inner_iters=4, max_outer_iters=3, inner_iters_later=2,
+        newton_substeps=2))
+    u0 = jnp.tile(jnp.array([1.2, 0.0], jnp.float32), CFG.N_hor)
+    for seed in range(3):
+        z = _problem(seed)
+        a = full.solve(z, u0)
+        b = chord.solve(z, u0)
+        np.testing.assert_allclose(float(b.cost), float(a.cost),
+                                   rtol=1e-3, atol=1e-3)
+        # Equal-merit points may differ along flat valleys of these hard
+        # cold-start problems; closed-loop fidelity is pinned separately
+        # (scripts/parity_check.py).  Require same-basin agreement only.
+        np.testing.assert_allclose(np.asarray(b.u), np.asarray(a.u),
+                                   atol=3e-2)
