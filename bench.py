@@ -50,13 +50,18 @@ def main() -> int:
     robot = CircularRobotSpecification()
     # Production solve budget: matches the receding-horizon operating point
     # (warm starts keep later stages cheap).  Closed-loop cost gap vs an
-    # exhaustive independent solver: 0.0 at the default profile, 2.5e-4 at
-    # the lean profile (scripts/parity_check.py study).
+    # independent float64 SLSQP over 15 scenario-0 steps
+    # (scripts/parity_check.py study): full 0.0, lean 2.5e-4,
+    # chord 2.0e-4, chord3 6.1e-5 — all inside the <1e-3 fidelity target.
+    # Measured one-chip throughput at B=1024: full 1719, lean 3256,
+    # chord 3522, chord3 2790 solves/s → chord is the operating point.
     profiles = {
-        "default": (12, 4, 5, 1),
+        "full": (12, 4, 5, 1),
         "lean": (6, 3, 3, 1),
-        "ultralean": (4, 3, 2, 1),   # closed-loop cost gap 0.0 over 5 steps
-        "chord": (3, 2, 2, 2),       # 2 Newton updates per Hessian refresh
+        "ultralean": (4, 3, 2, 1),
+        "default": (3, 2, 2, 2),     # chord: 2 Newton updates per Hessian
+        "chord": (3, 2, 2, 2),
+        "chord3": (2, 2, 2, 3),      # 3 updates/Hessian, 4 scan iterations
     }
     inner, outer, later, sub = profiles[
         os.environ.get("BENCH_PROFILE", "default")]

@@ -77,27 +77,29 @@ class NetworkManager:
         self.state.opt_state.hyperparams["learning_rate"] = jnp.asarray(new_lr)
 
     # ------------------------------------------------------------------ steps
-    @partial(jax.jit, static_argnames=("self", "k_top"))
+    @partial(jax.jit, static_argnames=("self", "k_top", "relax"))
     def _train_step_fused(self, state: TrainState, trajs, offsets, labels,
-                          ref_map, k_top: int):
+                          ref_map, k_top: int, relax: float = 0.0):
         """Train step with ON-DEVICE input rasterization: only the raw
         (B, 5, 2) trajectories and offsets cross the host-device boundary
         (the rasterized stack is ~90 MB/batch; the raw records ~1 KB)."""
         from .heatmap import traj_to_input_batch
         images = traj_to_input_batch(trajs, ref_map, offsets)
-        return self._train_step_inner(state, images, labels, k_top)
+        return self._train_step_inner(state, images, labels, k_top, relax)
 
-    @partial(jax.jit, static_argnames=("self", "k_top"))
-    def _train_step(self, state: TrainState, images, labels, k_top: int):
-        return self._train_step_inner(state, images, labels, k_top)
+    @partial(jax.jit, static_argnames=("self", "k_top", "relax"))
+    def _train_step(self, state: TrainState, images, labels, k_top: int,
+                    relax: float = 0.0):
+        return self._train_step_inner(state, images, labels, k_top, relax)
 
-    def _train_step_inner(self, state: TrainState, images, labels, k_top: int):
+    def _train_step_inner(self, state: TrainState, images, labels,
+                          k_top: int, relax: float = 0.0):
         def loss_fn(params):
             outputs, mutated = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 images, train=True, mutable=["batch_stats"])
             loss = losses.meta_loss(outputs, labels, losses.loss_mse,
-                                    k_top=k_top)
+                                    k_top=k_top, relax=relax)
             return loss, mutated["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -140,7 +142,8 @@ class NetworkManager:
     # ------------------------------------------------------------------ train
     def train(self, data_handler, batch_size: int, epochs: int,
               k_top_list: List[int] | None = None, val_after_batch: int = 20,
-              rasterize=None, checkpoint_dir: str | None = None):
+              rasterize=None, checkpoint_dir: str | None = None,
+              relax: float = 0.0):
         """Epoch loop mirroring network_manager.train (:129-217): per-epoch
         k_top, NaN abort, val tracking, early stopping, checkpoints.
 
@@ -183,12 +186,12 @@ class NetworkManager:
                         self.state, jnp.asarray(batch["traj"]),
                         jnp.asarray(batch["offset"]),
                         jnp.asarray(batch["label"]),
-                        the_map, k_top)
+                        the_map, k_top, relax if k_top == 1 else 0.0)
                 else:
                     images, labels = rasterize(batch)
                     self.state, loss = self._train_step(
                         self.state, jnp.asarray(images), jnp.asarray(labels),
-                        k_top)
+                        k_top, relax if k_top == 1 else 0.0)
                 loss = float(loss)
                 if np.isnan(loss):
                     print("Loss is NaN — training aborted.")

@@ -41,6 +41,10 @@ def main(argv=None) -> int:
                     help="fixed WTA k_top for every epoch (0 = evolving "
                          "schedule). k=1 sharpens a pre-trained model's "
                          "hypothesis spread.")
+    ap.add_argument("--relax", type=float, default=0.0,
+                    help="relaxed-WTA epsilon (only applied at k_top=1): "
+                         "pulls non-winning hypotheses gently toward the "
+                         "label, shrinking outlier spread")
     ap.add_argument("--recalibrate-bn", type=int, default=100,
                     help="BatchNorm running-stat refresh batches after "
                          "training (0 = skip)")
@@ -76,7 +80,8 @@ def main(argv=None) -> int:
         k_top_list = losses.default_k_top_schedule(args.epochs, cfg.num_hypos)
     t0 = time.time()
     mgr.train(dh, args.batch_size, args.epochs, k_top_list=k_top_list,
-              checkpoint_dir=os.path.dirname(args.out) or ".")
+              checkpoint_dir=os.path.dirname(args.out) or ".",
+              relax=args.relax)
     hours = (time.time() - t0) / 3600
     print(f"\nTraining done: {n_params} parameters. Cost time: {hours:.4f}h.")
 

@@ -27,6 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-plot", default=None, metavar="PATH",
                    help="render headlessly and save the final frame as PNG")
     p.add_argument("--json", action="store_true", help="print metrics as JSON")
+    p.add_argument("--ckpt", default=None,
+                   help="SWTA checkpoint for the mmp predictor "
+                        "(default: Model/wsd_1t20)")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -40,6 +43,7 @@ def main(argv=None) -> int:
                     max_run_time_step=args.steps,
                     scenario_index=args.scenario,
                     evaluation=evaluation, seed=args.seed,
+                    mmp_checkpoint=args.ckpt,
                     verbose=args.verbose)
     plotter = None
     if (args.plot or args.save_plot) and not evaluation:

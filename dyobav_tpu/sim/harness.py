@@ -60,8 +60,10 @@ class MainBase:
                  config_robot: CircularRobotSpecification | None = None,
                  config_dwa: DwaConfiguration | None = None,
                  solver_config: SolverConfiguration | None = None,
+                 mmp_checkpoint: str | None = None,
                  verbose: bool = False):
         self.max_num_run = max_num_run
+        self.mmp_checkpoint = mmp_checkpoint
         self.max_run_time_step = max_run_time_step
         self.eval = evaluation
         self.vb = verbose
@@ -167,7 +169,7 @@ class MainBase:
             predictor = CvmpInterface(self.config_mpc)
         elif predictor_type == "mmp":
             from ..predictors.mmp import MmpInterface
-            predictor = MmpInterface()
+            predictor = MmpInterface(checkpoint_path=self.mmp_checkpoint)
         elif predictor_type is not None:
             raise ValueError("Predictor type is not supported.")
         return mpc_intf or dwa_intf, predictor
