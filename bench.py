@@ -106,6 +106,14 @@ def main() -> int:
     # Warm-up (compile).
     sol = bundle.solve_batch(Z, U0)
     sol.u.block_until_ready()
+    # Transparency: solve-quality stats for this profile on the cold-start
+    # bench problems (stderr; the stdout contract is one JSON line).
+    import numpy as _np
+    print(f"profile={os.environ.get('BENCH_PROFILE', 'default')} "
+          f"exit_ok={float(_np.mean(_np.asarray(sol.exit_ok))):.3f} "
+          f"infeas_p95="
+          f"{float(_np.percentile(_np.asarray(sol.infeasibility), 95)):.2e}",
+          file=sys.stderr)
 
     mode = os.environ.get("BENCH_MODE", "throughput")
     if mode == "latency":
