@@ -174,7 +174,7 @@ def make_alm_newton_solver(
 
         def body(carry, is_boundary):
             (u, psi_u, g_u, lam, done, y, c, prev_inf, outer_done,
-             r_last) = carry
+             y_solved, c_solved) = carry
             frozen = done | outer_done
 
             # One exact Hessian per scan iteration; `newton_substeps` damped
@@ -237,22 +237,28 @@ def make_alm_newton_solver(
             # Reset the inner state for the next stage.
             done_new = jnp.where(upd, False, done_new)
             lam_new = jnp.where(upd, jnp.asarray(1e-3, dtype), lam_new)
-            # Residual bookkeeping: on boundary iterations g_new is under the
-            # freshly escalated (y, c) — large by construction — while the
-            # staged path records each stage's residual under its own
-            # multipliers.  Keep the previous iteration's value there (exact
-            # once the inner loop has converged, since u is then frozen).
-            r_last_new = jnp.where(outer_done | upd, r_last, r_norm)
+            # Track the multipliers the accepted iterate was solved UNDER:
+            # the stationarity residual must be judged against that
+            # subproblem, not the freshly escalated (y, c) of the next stage
+            # (which is large by construction right after an update).
+            y_solved_new = jnp.where(outer_done, y_solved, y)
+            c_solved_new = jnp.where(outer_done, c_solved, c)
 
             return (u_new, psi_new, g_new, lam_new, done_new, y_new, c_new,
-                    prev_inf_new, outer_done_new, r_last_new), None
+                    prev_inf_new, outer_done_new, y_solved_new,
+                    c_solved_new), None
 
         init = (u, psi0, g0, jnp.asarray(1e-3, dtype), jnp.array(False),
                 y0, c0, jnp.array(0.0, dtype), jnp.array(False),
-                jnp.array(jnp.inf, dtype))
+                y0, c0)
         carry, _ = jax.lax.scan(body, init, jnp.asarray(boundary))
-        u, _, _, _, _, _, _, _, _, r_final = carry
-        c = carry[6]
+        u, c = carry[0], carry[6]
+        y_solved, c_solved = carry[9], carry[10]
+
+        # Fresh residual at the returned iterate under the subproblem that
+        # produced it (one extra gradient, amortized over the whole solve).
+        _, g_solved = merit_grad(u, y_solved, c_solved)
+        r_final = jnp.max(jnp.abs(u - proj_box(u - g_solved)))
 
         f, f1, f2 = objective(u)
         viol1 = jnp.max(jnp.abs(f1 - proj_rect(f1)))
