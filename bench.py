@@ -3,11 +3,26 @@
 
 Prints ONE JSON line:
   {"metric": "nmpc_solves_per_s", "value": N, "unit": "solves/s",
-   "vs_baseline": R}
+   "vs_baseline": R, "exit_ok": F, ...}
 
 The baseline is the reference stack's real-time budget: one OpEn/PANOC CPU
 solve per control step within `max_solver_time` = 100 ms (mpc_fast.yaml),
 i.e. 10 solves/s/robot.  `vs_baseline` = our solves/s divided by 10.
+
+Problem distribution: the RECEDING-HORIZON operating point.  Each scenario
+is warmed up with `BENCH_WARM_STEPS` (default 3) closed-loop control steps
+under the benched profile itself — state advanced by the solved action,
+initial guess shifted one step — before the timed solves, because that is
+how every production solve after the first one is posed (the reference
+solver is likewise warm-started every step, trajectory_tracker.py:315-317).
+The JSON line carries `exit_ok` (converged fraction on the timed warm
+distribution) and `exit_ok_cold` (same profile on the step-0 cold problems)
+so the throughput number can never silently dissociate from solve quality.
+Set BENCH_WARM_STEPS=0 to bench the cold distribution itself.
+
+Note the solver is static-shaped (fixed iteration budget, masked
+convergence), so solves/s is data-independent; warm vs cold changes only
+which quality claim accompanies the number.
 
 Runs on whatever jax.devices() provides (the driver runs it on a real TPU
 chip).  Batch size/iters via BENCH_BATCH / BENCH_ITERS env vars.
@@ -55,65 +70,105 @@ def main() -> int:
     # chord 2.0e-4, chord3 6.1e-5 — all inside the <1e-3 fidelity target.
     # Measured one-chip throughput at B=1024: full 1719, lean 3256,
     # chord 3522, chord3 2790 solves/s → chord is the operating point.
+    # (inner, outer, later, substeps, initial_penalty).  The chord profiles
+    # run with the penalty pre-escalated to 1250 (= 10 * 5^3, where the
+    # strong profiles end up): they are WARM receding-horizon operating
+    # points, and with only 2 outer stages a from-10 penalty ramp cannot
+    # reach feasibility when an obstacle constraint activates mid-episode
+    # (scripts/parity_check.py step-1 study).  Cold-start solves in
+    # production use SolverConfiguration.cold_profile escalation instead.
     profiles = {
-        "full": (12, 4, 5, 1),
-        "lean": (6, 3, 3, 1),
-        "ultralean": (4, 3, 2, 1),
-        "default": (3, 2, 2, 2),     # chord: 2 Newton updates per Hessian
-        "chord": (3, 2, 2, 2),
-        "chord3": (2, 2, 2, 3),      # 3 updates/Hessian, 4 scan iterations
+        "strong": (30, 10, 10, 1, 10.0),   # SolverConfiguration() defaults
+        "full": (12, 4, 5, 1, 10.0),
+        "deep": (12, 6, 5, 1, 10.0),
+        "lean": (6, 3, 3, 1, 10.0),
+        "ultralean": (4, 3, 2, 1, 10.0),
+        "default": (3, 2, 2, 2, 1250.0),   # chord: 2 updates per Hessian
+        "chord": (3, 2, 2, 2, 1250.0),
+        "chord3": (2, 2, 2, 3, 1250.0),
     }
-    inner, outer, later, sub = profiles[
+    inner, outer, later, sub, pen = profiles[
         os.environ.get("BENCH_PROFILE", "default")]
     scfg = SolverConfiguration(max_inner_iters=inner, max_outer_iters=outer,
                                inner_iters_later=later, newton_substeps=sub,
+                               initial_penalty=pen,
                                fused=os.environ.get("BENCH_FUSED", "1") != "0")
     bundle = build_mpc_solver(cfg, robot, scfg)
 
-    # Randomized scenario batch: straight references with a lateral obstacle.
+    # Randomized scenario batch: straight references with a lateral
+    # obstacle.  The per-scenario generator is parameterized by the walked
+    # step index k so the receding-horizon warm-up below can re-pose each
+    # problem one control step later.
     rng = np.random.default_rng(0)
     N = cfg.N_hor
-    zs = []
-    for b in range(batch):
-        p = empty_params(cfg)
-        x0 = rng.uniform(-5, 5)
-        y0 = rng.uniform(-5, 5)
-        heading = rng.uniform(-np.pi, np.pi)
-        ref = np.zeros((N, 3), np.float32)
-        ref[:, 0] = x0 + np.cos(heading) * 0.24 * np.arange(1, N + 1)
-        ref[:, 1] = y0 + np.sin(heading) * 0.24 * np.arange(1, N + 1)
-        ref[:, 2] = heading
-        ell = np.zeros((cfg.Ndynobs, N + 1, cfg.ndynobs), np.float32)
-        ox = x0 + np.cos(heading) * 2.2 - np.sin(heading) * 0.3
-        oy = y0 + np.sin(heading) * 2.2 + np.cos(heading) * 0.3
-        ell[0, :, :] = [ox, oy, 0.4, 0.4, 0.0, 1.0]
-        p = p._replace(
-            u_prev=jnp.array([1.2, 0.0]),
-            s0=jnp.array([x0, y0, heading], jnp.float32),
-            sN=jnp.asarray(ref[-1], jnp.float32),
-            q=jnp.asarray(tuning_vector(cfg), jnp.float32),
-            ref_states=jnp.asarray(ref),
-            ref_speed=jnp.full((N,), 1.2, jnp.float32),
-            dyn_obs=jnp.asarray(ell),
-            q_stc=jnp.full((N,), 10.0, jnp.float32),
-            q_dyn=jnp.full((N,), 10.0, jnp.float32),
-        )
-        zs.append(np.asarray(pack(p)))
-    Z = jnp.asarray(np.stack(zs))
+    x0s = rng.uniform(-5, 5, batch)
+    y0s = rng.uniform(-5, 5, batch)
+    headings = rng.uniform(-np.pi, np.pi, batch)
+    coss, sins = np.cos(headings), np.sin(headings)
+    obs_xy = np.stack([x0s + coss * 2.2 - sins * 0.3,
+                       y0s + sins * 2.2 + coss * 0.3], axis=1)
+
+    def make_Z(states: np.ndarray, u_prev: np.ndarray, k: int) -> jnp.ndarray:
+        """Problem batch at receding-horizon step k (states: (B,3))."""
+        zs = []
+        steps = np.arange(k + 1, k + N + 1)
+        for b in range(batch):
+            p = empty_params(cfg)
+            ref = np.zeros((N, 3), np.float32)
+            ref[:, 0] = x0s[b] + coss[b] * 0.24 * steps
+            ref[:, 1] = y0s[b] + sins[b] * 0.24 * steps
+            ref[:, 2] = headings[b]
+            ell = np.zeros((cfg.Ndynobs, N + 1, cfg.ndynobs), np.float32)
+            ell[0, :, :] = [obs_xy[b, 0], obs_xy[b, 1], 0.4, 0.4, 0.0, 1.0]
+            p = p._replace(
+                u_prev=jnp.asarray(u_prev[b], jnp.float32),
+                s0=jnp.asarray(states[b], jnp.float32),
+                sN=jnp.asarray(ref[-1], jnp.float32),
+                q=jnp.asarray(tuning_vector(cfg), jnp.float32),
+                ref_states=jnp.asarray(ref),
+                ref_speed=jnp.full((N,), 1.2, jnp.float32),
+                dyn_obs=jnp.asarray(ell),
+                q_stc=jnp.full((N,), 10.0, jnp.float32),
+                q_dyn=jnp.full((N,), 10.0, jnp.float32),
+            )
+            zs.append(np.asarray(pack(p)))
+        return jnp.asarray(np.stack(zs))
+
+    states = np.stack([x0s, y0s, headings], axis=1).astype(np.float32)
+    u_prev = np.tile(np.array([1.2, 0.0], np.float32), (batch, 1))
+    Z = make_Z(states, u_prev, 0)
     U0 = jnp.tile(jnp.asarray(np.tile([1.2, 0.0], N), jnp.float32),
                   (batch, 1))
 
-    # Warm-up (compile).
+    # Warm-up (compile) + cold-distribution quality snapshot.
     sol = bundle.solve_batch(Z, U0)
     sol.u.block_until_ready()
-    # Transparency: solve-quality stats for this profile on the cold-start
-    # bench problems (stderr; the stdout contract is one JSON line).
-    import numpy as _np
+    exit_ok_cold = float(np.mean(np.asarray(sol.exit_ok)))
+    infeas_cold = float(np.percentile(np.asarray(sol.infeasibility), 95))
+
+    # Receding-horizon warm-up: advance each scenario `warm_steps` control
+    # steps under this profile; every production solve after step 0 is posed
+    # exactly this way (shifted warm start + one-step-advanced problem).
+    from dyobav_tpu.motion.models import unicycle_step
+    step_batch = jax.jit(jax.vmap(lambda s, u: unicycle_step(s, u, cfg.ts)))
+    warm_steps = int(os.environ.get("BENCH_WARM_STEPS", "3"))
+    for k in range(warm_steps):
+        u = np.asarray(sol.u)
+        states = np.asarray(step_batch(jnp.asarray(states),
+                                       jnp.asarray(u[:, :cfg.nu])))
+        u_prev = u[:, :cfg.nu]
+        U0 = jnp.asarray(np.concatenate([u[:, cfg.nu:], u[:, -cfg.nu:]],
+                                        axis=1))
+        Z = make_Z(states, u_prev, k + 1)
+        sol = bundle.solve_batch(Z, U0)
+        sol.u.block_until_ready()
+
+    exit_ok = float(np.mean(np.asarray(sol.exit_ok)))
+    infeas_p95 = float(np.percentile(np.asarray(sol.infeasibility), 95))
     print(f"profile={os.environ.get('BENCH_PROFILE', 'default')} "
-          f"exit_ok={float(_np.mean(_np.asarray(sol.exit_ok))):.3f} "
-          f"infeas_p95="
-          f"{float(_np.percentile(_np.asarray(sol.infeasibility), 95)):.2e}",
-          file=sys.stderr)
+          f"warm_steps={warm_steps} exit_ok={exit_ok:.3f} "
+          f"(cold {exit_ok_cold:.3f}) infeas_p95={infeas_p95:.2e} "
+          f"(cold {infeas_cold:.2e})", file=sys.stderr)
 
     mode = os.environ.get("BENCH_MODE", "throughput")
     if mode == "latency":
@@ -146,6 +201,14 @@ def main() -> int:
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / 10.0, 1),
+        # Quality of the very solves being timed (warm receding-horizon
+        # distribution) — the throughput claim is void without it.
+        "exit_ok": round(exit_ok, 3),
+        "exit_ok_cold": round(exit_ok_cold, 3),
+        "infeas_p95": float(f"{infeas_p95:.2e}"),
+        "warm_steps": warm_steps,
+        "profile": os.environ.get("BENCH_PROFILE", "default"),
+        "batch": batch,
     }))
     return 0
 

@@ -211,11 +211,23 @@ class SolverConfiguration:
     penalty_update_factor: float = 5.0
     tol: float = 1e-4               # fixed-point-residual tolerance (inner)
     constraint_tol: float = 1e-3    # ALM infeasibility tolerance
+    multistart_infeas_factor: float = 10.0  # multi-start candidates whose
+                                    # infeasibility exceeds this multiple of
+                                    # constraint_tol are cost-penalized when
+                                    # ranking (trackers/mpc_tracker.py)
     lbfgs_memory: int = 10
     dtype: Any = None               # default float32; jnp dtype override
     fused: bool = True              # single-scan ALM (masked stage updates;
                                     # ~4x faster compiles, identical controls)
                                     # vs Python-unrolled outer stages
+    cold_profile: Any = None        # optional (inner, outer, later, substeps)
+                                    # used for the FIRST solve of an episode
+                                    # (no warm start).  Lean iteration
+                                    # profiles are sized for warm-started
+                                    # receding-horizon solves and can leave
+                                    # cold starts infeasible; escalating the
+                                    # one cold solve per episode costs ~one
+                                    # extra compile and nothing per step.
     newton_substeps: int = 1        # Newton updates per Hessian refresh
                                     # (chord method): the exact Hessian is
                                     # ~90% of per-iteration compute, so K>1

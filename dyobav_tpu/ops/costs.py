@@ -215,6 +215,46 @@ def evaluate(u_flat: jnp.ndarray, p: MpcParams, cfg: MpcConfiguration,
     return CostBreakdown(objective=cost, f1=f1, f2=f2, states=states)
 
 
+def constraint_residuals(u_flat: jnp.ndarray, p: MpcParams,
+                         cfg: MpcConfiguration,
+                         robot: CircularRobotSpecification):
+    """Disaggregated smooth constraint residuals (feasible iff all <= 0).
+
+    The solver's penalty channel F2 (sum of hinges, see `evaluate`) equals
+    zero exactly when every one of these residuals is non-positive, so
+    {F2 = 0} == {all residuals <= 0}: this is the same NLP with its
+    constraints exposed individually and smoothly — what an independent
+    NLP solver (scripts/parity_check.py) needs to navigate the feasible
+    set reliably (the aggregated hinge sum has zero gradient outside).
+
+    Returns (f1, stc, dyn):
+      f1  (2 N_hor,)        acceleration values, bounded by C
+      stc (N_hor * Nstcobs,) polygon inside-products (>0 inside)
+      dyn (2 * N_hor * Ndynobs,) ellipse indicators, current + predictive
+    """
+    N, nu = cfg.N_hor, cfg.nu
+    u = u_flat.reshape(N, nu)
+    states = rollout_states(p.s0, u, cfg.ts)
+    states_xy = states[:, :2]
+
+    n_edges = cfg.nstcobs // 3
+    stc = _polygon_residuals(states_xy, p.stc_obs, n_edges)      # (N, Nobs)
+
+    ell_cur = jnp.broadcast_to(p.dyn_obs[:, 0, :],
+                               (N,) + p.dyn_obs[:, 0, :].shape)
+    ind_cur = _ellipse_indicator(states_xy, ell_cur, 0.0)        # (N, M)
+    ell_pred = jnp.swapaxes(p.dyn_obs[:, 1:, :], 0, 1)
+    ind_pred = _ellipse_indicator(states_xy, ell_pred, 0.0)      # (N, M)
+
+    v, w = u[:, 0], u[:, 1]
+    acc = (v - jnp.concatenate([p.u_prev[:1], v[:-1]])) / cfg.ts
+    w_acc = (w - jnp.concatenate([p.u_prev[1:2], w[:-1]])) / cfg.ts
+    f1 = jnp.concatenate([acc, w_acc])
+
+    return f1, stc.reshape(-1), jnp.concatenate(
+        [ind_cur.reshape(-1), ind_pred.reshape(-1)])
+
+
 def action_bounds(cfg: MpcConfiguration, robot: CircularRobotSpecification,
                   dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Hard box bounds on the flat decision vector (mpc_builder.py:151-153)."""

@@ -55,7 +55,10 @@ def make_alm_newton_solver(
     """Build the jittable ALM-Newton solve (same contract as PANOC builder)."""
     scfg = solver_cfg
     n = u_lo.shape[0]
-    eye = jnp.eye(n)
+    # Pin constant dtypes to the problem dtype so the solver also traces
+    # correctly under jax_enable_x64 (default-dtype constants would promote
+    # the scan carry and break the fixed-point structure).
+    eye = jnp.eye(n, dtype=u_lo.dtype)
     bound_eps = 1e-9
 
     def proj_box(u):
@@ -76,6 +79,26 @@ def make_alm_newton_solver(
 
     lm_ladder = jnp.array(_LM_LADDER)
 
+    n_substeps = max(int(getattr(scfg, "newton_substeps", 1)), 1)
+
+    def scaled_residual(u, y, c):
+        """Diagonal-Newton stationarity residual, in CONTROL units.
+
+        The raw projected-gradient residual max|u - Π(u - ∇ψ)| scales with
+        the merit curvature — the penalty terms reach directional curvatures
+        of 1e6+ once c escalates, so in float32 it bottoms out orders of
+        magnitude above any fixed tolerance even at machine-precision
+        optima (round-1's exit_ok=0.001 at zero infeasibility was exactly
+        this mislabeling).  Scaling each coordinate by the Hessian diagonal
+        measures how far (in action units, m/s / rad/s) any coordinate
+        could still profitably move: curvature- and penalty-invariant, and
+        the quantity a control user actually cares about.
+        """
+        _, g = merit_grad(u, y, c)
+        H = merit_hess(u, y, c)
+        scale = jnp.maximum(jnp.abs(jnp.diag(H)), 1.0)
+        return jnp.max(jnp.abs(u - proj_box(u - g / scale)))
+
     def inner_solve(u0, y, c, n_iters: int):
         dtype = u0.dtype
         psi0, g0 = merit_grad(u0, y, c)
@@ -83,40 +106,50 @@ def make_alm_newton_solver(
         def iteration(carry, _):
             u, psi_u, g_u, lam, done = carry
 
+            # One exact Hessian per iteration; `newton_substeps` damped
+            # updates share it (chord method) — same semantics as the fused
+            # path, so fused=False is not a silently weaker solver.
             H = merit_hess(u, y, c)
 
-            # Two-metric projection: freeze coordinates pressed against an
-            # active bound with the gradient pointing outward.
-            at_lo = (u <= u_lo + bound_eps) & (g_u > 0)
-            at_hi = (u >= u_hi - bound_eps) & (g_u < 0)
-            free = jnp.logical_not(at_lo | at_hi).astype(dtype)
-            M = free[:, None] * free[None, :]
-            H_free = H * M + (1.0 - jnp.diag(free)) * eye
-            g_free = g_u * free
+            def substep(u, psi_u, g_u, lam):
+                # Two-metric projection: freeze coordinates pressed against
+                # an active bound with the gradient pointing outward.
+                at_lo = (u <= u_lo + bound_eps) & (g_u > 0)
+                at_hi = (u >= u_hi - bound_eps) & (g_u < 0)
+                free = jnp.logical_not(at_lo | at_hi).astype(dtype)
+                M = free[:, None] * free[None, :]
+                H_free = H * M + (1.0 - jnp.diag(free)) * eye
+                g_free = g_u * free
 
-            # Scale-aware damping: λ multiplies the Hessian diagonal scale.
-            diag_scale = jnp.maximum(jnp.abs(jnp.diag(H_free)), 1.0)
+                # Scale-aware damping: λ multiplies the Hessian diag scale.
+                diag_scale = jnp.maximum(jnp.abs(jnp.diag(H_free)), 1.0)
 
-            def candidate(mult):
-                lam_c = lam * mult
-                A = H_free + lam_c * jnp.diag(diag_scale)
-                d = -jax.scipy.linalg.solve(A, g_free, assume_a="pos")
-                u_c = proj_box(u + d)
-                psi_c = merit_fn(u_c, y, c)
-                valid = jnp.all(jnp.isfinite(u_c)) & jnp.isfinite(psi_c)
-                return u_c, jnp.where(valid, psi_c, jnp.inf), lam_c
+                def candidate(mult):
+                    lam_c = lam * mult
+                    A = H_free + lam_c * jnp.diag(diag_scale)
+                    d = -jax.scipy.linalg.solve(A, g_free, assume_a="pos")
+                    u_c = proj_box(u + d)
+                    psi_c = merit_fn(u_c, y, c)
+                    valid = jnp.all(jnp.isfinite(u_c)) & jnp.isfinite(psi_c)
+                    return u_c, jnp.where(valid, psi_c, jnp.inf), lam_c
 
-            cu, cpsi, clam = jax.vmap(candidate)(lm_ladder.astype(dtype))
-            best = jnp.argmin(cpsi)
-            improved = cpsi[best] < psi_u - 1e-12
+                cu, cpsi, clam = jax.vmap(candidate)(lm_ladder.astype(dtype))
+                best = jnp.argmin(cpsi)
+                improved = cpsi[best] < psi_u - 1e-12
+                move = improved & jnp.logical_not(done)
+                u_new = jnp.where(move, cu[best], u)
+                lam_new = jnp.where(
+                    improved,
+                    jnp.maximum(clam[best] * 0.5, 1e-10),
+                    jnp.minimum(lam * 100.0, 1e10),
+                )
+                return u_new, lam_new, improved
 
-            move = improved & jnp.logical_not(done)
-            u_new = jnp.where(move, cu[best], u)
-            lam_new = jnp.where(
-                improved,
-                jnp.maximum(clam[best] * 0.5, 1e-10),
-                jnp.minimum(lam * 100.0, 1e10),
-            )
+            u_new, lam_new, improved = substep(u, psi_u, g_u, lam)
+            for _ in range(n_substeps - 1):
+                psi_mid, g_mid = merit_grad(u_new, y, c)
+                u_new, lam_new, improved = substep(u_new, psi_mid, g_mid,
+                                                   lam_new)
             psi_new, g_new = merit_grad(u_new, y, c)
 
             # Projected-gradient stationarity residual.
@@ -130,8 +163,7 @@ def make_alm_newton_solver(
         init = (u0, psi0, g0, jnp.asarray(1e-3, u0.dtype), jnp.array(False))
         (u, _, g, _, _), r_hist = jax.lax.scan(
             iteration, init, None, length=n_iters)
-        r = jnp.max(jnp.abs(u - proj_box(u - g)))
-        return u, r
+        return u, scaled_residual(u, y, c)
 
     n_stage_iters = [scfg.max_inner_iters] + [
         max(scfg.inner_iters_later, 4)
@@ -169,8 +201,6 @@ def make_alm_newton_solver(
         y0 = jnp.zeros_like(c_lo).astype(dtype)
         c0 = jnp.asarray(scfg.initial_penalty, dtype)
         psi0, g0 = merit_grad(u, y0, c0)
-
-        n_substeps = max(int(getattr(scfg, "newton_substeps", 1)), 1)
 
         def body(carry, is_boundary):
             (u, psi_u, g_u, lam, done, y, c, prev_inf, outer_done,
@@ -255,18 +285,17 @@ def make_alm_newton_solver(
         u, c = carry[0], carry[6]
         y_solved, c_solved = carry[9], carry[10]
 
-        # Fresh residual at the returned iterate under the subproblem that
-        # produced it (one extra gradient, amortized over the whole solve).
-        _, g_solved = merit_grad(u, y_solved, c_solved)
-        r_final = jnp.max(jnp.abs(u - proj_box(u - g_solved)))
+        # Fresh Newton-scaled residual at the returned iterate under the
+        # subproblem that produced it (one extra gradient + Hessian,
+        # amortized over the whole solve).
+        r_final = scaled_residual(u, y_solved, c_solved)
 
         f, f1, f2 = objective(u)
         viol1 = jnp.max(jnp.abs(f1 - proj_rect(f1)))
         infeas = jnp.maximum(viol1, jnp.max(jnp.abs(f2)))
-        r_ok = r_final <= 100 * scfg.tol * jnp.maximum(1.0, jnp.abs(f) * 1e-3)
         return NewtonResult(
             u=u, cost=f, residual=r_final, infeasibility=infeas, penalty=c,
-            converged=(infeas <= scfg.constraint_tol) & r_ok,
+            converged=(infeas <= scfg.constraint_tol) & (r_final <= scfg.tol),
         )
 
     def solve(u0: jnp.ndarray) -> NewtonResult:
@@ -292,13 +321,9 @@ def make_alm_newton_solver(
         f, f1, f2 = objective(u)
         viol1 = jnp.max(jnp.abs(f1 - proj_rect(f1)))
         infeas = jnp.maximum(viol1, jnp.max(jnp.abs(f2)))
-        # Residual criterion is cost-scale-relative: in f32 the stationarity
-        # residual bottoms out around eps * |cost| regardless of solver
-        # quality, so an absolute tolerance would mislabel converged solves.
-        r_ok = r_final <= 100 * scfg.tol * jnp.maximum(1.0, jnp.abs(f) * 1e-3)
         return NewtonResult(
             u=u, cost=f, residual=r_final, infeasibility=infeas, penalty=c,
-            converged=(infeas <= scfg.constraint_tol) & r_ok,
+            converged=(infeas <= scfg.constraint_tol) & (r_final <= scfg.tol),
         )
 
     return solve_fused if scfg.fused else solve

@@ -51,6 +51,25 @@ class TrajectoryTracker:
         self.solver_config = solver_config or SolverConfiguration()
         self.bundle: MpcSolverBundle = build_mpc_solver(
             config, robot_specification, self.solver_config)
+        # Cold-start escalation: the first solve of an episode has no warm
+        # start, where lean receding-horizon profiles under-iterate (can
+        # return infeasible controls); run it on a stronger profile.
+        if self.solver_config.cold_profile:
+            import dataclasses
+            prof = tuple(self.solver_config.cold_profile)
+            ci, co, cl, cs = prof[:4]
+            # Optional 5th element: the cold initial penalty (default 10 =
+            # OpEn's from-scratch escalation, even when the warm profile
+            # runs penalty-pre-escalated).
+            pen = prof[4] if len(prof) > 4 else 10.0
+            self.cold_bundle: MpcSolverBundle = build_mpc_solver(
+                config, robot_specification,
+                dataclasses.replace(self.solver_config, max_inner_iters=ci,
+                                    max_outer_iters=co, inner_iters_later=cl,
+                                    newton_substeps=cs, initial_penalty=pen,
+                                    cold_profile=None))
+        else:
+            self.cold_bundle = self.bundle
         self.use_multistart = use_multistart
         self._last_u: Optional[np.ndarray] = None
 
@@ -68,6 +87,7 @@ class TrajectoryTracker:
         self.past_actions: List[np.ndarray] = []
         self.cost_timelist: List[float] = []
         self.solver_time_timelist: List[float] = []
+        self.solver_status_timelist: List[str] = []
         self.idx_ref_traj = 0
         self.idx_ref_path = 0
         self.idle = False
@@ -252,21 +272,23 @@ class TrajectoryTracker:
         z = jnp.asarray(np.asarray(params, dtype=np.float32))
 
         t0 = timeit.default_timer()
+        bundle = self.bundle if self._last_u is not None else self.cold_bundle
         if self.use_multistart:
             guesses = self._initial_guesses(last_u)
             zb = jnp.broadcast_to(z, (guesses.shape[0], z.shape[0]))
-            sols = self.bundle.solve_batch(zb, jnp.asarray(guesses))
+            sols = bundle.solve_batch(zb, jnp.asarray(guesses))
             # Rank by (feasibility first, then cost).
+            scfg = self.solver_config
             score = np.asarray(sols.cost) + 1e6 * (
                 np.asarray(sols.infeasibility)
-                > 10 * self.solver_config.constraint_tol)
+                > scfg.multistart_infeas_factor * scfg.constraint_tol)
             best = int(np.argmin(score))
             u_flat = np.asarray(sols.u[best])
             cost = float(sols.cost[best])
             pred_states_arr = np.asarray(sols.pred_states[best])
             exit_ok = bool(sols.exit_ok[best])
         else:
-            sol = self.bundle.solve(z, jnp.asarray(self._initial_guesses(last_u)[0]))
+            sol = bundle.solve(z, jnp.asarray(self._initial_guesses(last_u)[0]))
             u_flat = np.asarray(sol.u)
             cost = float(sol.cost)
             pred_states_arr = np.asarray(sol.pred_states)
@@ -298,6 +320,20 @@ class TrajectoryTracker:
         self.cost_timelist.append(cost)
         self.solver_time_timelist.append(solver_time)
 
-        if not exit_ok and self.vb:
-            print("[TrajTracker] Bad converge status")
+        # Exit-status vocabulary: map the in-graph result onto OpEn's status
+        # strings (ref `config/mpc_default.yaml` bad_exit_codes, handled at
+        # trajectory_tracker.py:334-335).  The in-graph solver has a fixed
+        # iteration budget instead of a wall-clock cutoff, so a failed solve
+        # is "NotConvergedIterations" unless the measured wall time also blew
+        # the configured `max_solver_time` budget (µs).
+        if exit_ok:
+            status = "Converged"
+        elif solver_time > self.config.max_solver_time / 1000.0:
+            status = "NotConvergedOutOfTime"
+        else:
+            status = "NotConvergedIterations"
+        self.solver_status = status
+        self.solver_status_timelist.append(status)
+        if status in self.config.bad_exit_codes and self.vb:
+            print(f"[TrajTracker] Bad converge status: {status}")
         return actions, pred_states, ref_states, cost

@@ -2,20 +2,28 @@
 """Control-fidelity check against an independent solver (OpEn stand-in).
 
 Neither casadi nor opengen exist in this image, so the reference's actual
-Rust solver cannot run here.  Instead this script replays the scenario-0
-closed loop and, at every control step, solves the *identical* NLP (same
+Rust solver cannot run here.  Instead this script replays the closed loop on
+scenarios 0/1/2 and, at every control step, solves the *identical* NLP (same
 flat parameter vector) two ways:
 
-  1. the framework's in-graph ALM-Newton solve (float32, TPU-style), and
-  2. scipy SLSQP in float64 with JAX-exact gradients and the same
-     bounds/constraints,
+  1. the framework's in-graph ALM-Newton solve (float32, TPU-style, with
+     its production multi-start), and
+  2. scipy SLSQP in TRUE float64 (`jax_enable_x64`) with JAX-exact f64
+     gradients and the same bounds/constraints, started from SEVERAL
+     independent COLD initial guesses (cruise / zeros / half-speed /
+     random-in-box) — never from our solution — keeping the best feasible
+     optimum found.
 
-reporting per-step control deviation max|u_ours - u_slsqp| and the cost
-gap.  BASELINE.md's fidelity target (<1e-3 control deviation vs OpEn) is
-assessed through this proxy: both solvers drive the same objective to
-stationarity, so agreement here bounds formulation + solver error.
+Because the float64 multi-start never sees our iterate, agreement here is
+independent evidence of convergence to the same optimum, not merely
+stationarity of our point (round-1 VERDICT, weak #2).  BASELINE.md's
+fidelity target (<1e-3 control deviation vs OpEn) is assessed through this
+proxy; the solve being matched is the reference's
+`trajectory_tracker.run_solver` (trajectory_tracker.py:339-383).
 
-Usage: python scripts/parity_check.py [--steps 10]
+Usage:
+  python scripts/parity_check.py --steps 50 --scenarios 0,1,2 \
+      --profiles default,full [--starts 5] [--json-out parity.json]
 """
 from __future__ import annotations
 
@@ -28,22 +36,23 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Solver iteration profiles, mirroring bench.py's operating points:
+# (inner, outer, later, substeps, initial_penalty) — see bench.py for why
+# the chord (warm receding-horizon) profiles pre-escalate the penalty.
+PROFILES = {
+    "strong": (30, 10, 10, 1, 10.0),   # SolverConfiguration() defaults
+    "full": (12, 4, 5, 1, 10.0),
+    "deep": (12, 6, 5, 1, 10.0),       # full + more escalation stages
+    "lean": (6, 3, 3, 1, 10.0),
+    "default": (3, 2, 2, 2, 1250.0),   # chord: 2 updates per Hessian
+    "chord": (3, 2, 2, 2, 1250.0),
+    "chord3": (2, 2, 2, 3, 1250.0),
+}
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--platform", default="cpu")
-    ap.add_argument("--inner-iters", type=int, default=None,
-                    help="override SolverConfiguration.max_inner_iters")
-    ap.add_argument("--outer-iters", type=int, default=None)
-    ap.add_argument("--later-iters", type=int, default=None)
-    ap.add_argument("--substeps", type=int, default=1,
-                    help="Newton updates per Hessian refresh (chord method)")
-    args = ap.parse_args()
 
+def run_profile_scenario(profile: str, scenario_index: int, steps: int,
+                         n_starts: int, seed: int = 0) -> dict:
     import jax
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     from scipy.optimize import minimize
 
@@ -52,15 +61,13 @@ def main() -> int:
     from dyobav_tpu.ops.params import unpack
     from dyobav_tpu.sim.harness import MainBase
 
-    scfg = None
-    if args.inner_iters is not None:
-        scfg = SolverConfiguration(
-            max_inner_iters=args.inner_iters,
-            max_outer_iters=args.outer_iters or 4,
-            inner_iters_later=args.later_iters or max(args.inner_iters // 2, 3),
-            newton_substeps=args.substeps)
-    base = MainBase(max_run_time_step=args.steps, evaluation=True, seed=0,
-                    solver_config=scfg)
+    inner, outer, later, sub, pen = PROFILES[profile]
+    scfg = SolverConfiguration(max_inner_iters=inner, max_outer_iters=outer,
+                               inner_iters_later=later, newton_substeps=sub,
+                               initial_penalty=pen,
+                               cold_profile=PROFILES["deep"][:4])
+    base = MainBase(max_run_time_step=steps, scenario_index=scenario_index,
+                    evaluation=True, seed=seed, solver_config=scfg)
     robot, humans = base._prepare_agents()
     tracker_intf, predictor = base._prepare_interfaces(robot, "cvmp", "mpc")
     tracker = tracker_intf.traj_tracker
@@ -73,64 +80,186 @@ def main() -> int:
     acc_hi = np.concatenate([np.full(cfg.N_hor, rob.lin_acc_max),
                              np.full(cfg.N_hor, rob.ang_acc_max)])
 
-    # Capture each step's parameter vector by wrapping the bundle solve.
+    # True-float64 objective/constraints, jitted ONCE with z as an argument.
+    def eval64(u, z):
+        p = unpack(z.astype(jnp.float64), cfg)
+        return costs.evaluate(u, p, cfg, rob)
+
+    obj64 = jax.jit(lambda u, z: eval64(u, z).objective)
+    grad64 = jax.jit(jax.grad(lambda u, z: eval64(u, z).objective))
+
+    # Disaggregated smooth constraints (same feasible set as F2 = 0; the
+    # aggregated hinge sum has zero gradient outside the obstacles, which
+    # strands SLSQP in poor basins).
+    def cons64(u, z):
+        p = unpack(z.astype(jnp.float64), cfg)
+        return costs.constraint_residuals(u, p, cfg, rob)
+
+    cons_jit = jax.jit(cons64)
+    cons_jac = jax.jit(jax.jacrev(
+        lambda u, z: jnp.concatenate([c.reshape(-1) for c in cons64(u, z)])))
+
+    # Capture each step's parameter vector by wrapping the bundle solves
+    # (both the warm bundle and the cold-start-escalation bundle).
     captured = {}
-    orig_solve_batch = tracker.bundle.solve_batch
 
-    def capture_solve_batch(Z, U0):
-        captured["z"] = np.asarray(Z[0])
-        captured["u0"] = np.asarray(U0[0])
-        return orig_solve_batch(Z, U0)
+    def wrap(bundle):
+        orig = bundle.solve_batch
 
-    tracker.bundle = tracker.bundle._replace(solve_batch=capture_solve_batch)
+        def capture_solve_batch(Z, U0):
+            captured["z"] = np.asarray(Z[0])
+            return orig(Z, U0)
+
+        return bundle._replace(solve_batch=capture_solve_batch)
+
+    same = tracker.cold_bundle is tracker.bundle
+    tracker.bundle = wrap(tracker.bundle)
+    tracker.cold_bundle = (tracker.bundle if same
+                           else wrap(tracker.cold_bundle))
+
+    # Cold multi-start set (independent of our solver's warm starts).
+    rng = np.random.default_rng(seed + 1000)
+    N, nu = cfg.N_hor, cfg.nu
+    starts = [np.tile([1.2, 0.0], N), np.zeros(nu * N), np.tile([0.6, 0.0], N)]
+    while len(starts) < n_starts:
+        starts.append(rng.uniform(lo, hi))
+    starts = [np.asarray(s, np.float64) for s in starts[:max(n_starts, 1)]]
+
+    N = cfg.N_hor
+
+    def constraint_rows(z64: np.ndarray):
+        """Row indices of the concatenated residual vector to use, skipping
+        zero-padded obstacle slots (their residuals are constant-zero for
+        polygons / astronomically scaled for 1e-6-radius ellipses)."""
+        from dyobav_tpu.ops.params import unpack as unp
+        import jax.numpy as jnp
+        p = unp(jnp.asarray(z64), cfg)
+        stc_active = np.any(np.asarray(p.stc_obs) != 0.0, axis=1)  # (Nobs,)
+        radii = np.asarray(p.dyn_obs)[..., 2:4]           # (M, N+1, 2)
+        dyn_active = radii.sum(axis=-1) > 1e-5            # (M, N+1)
+        n_f1 = 2 * N
+        rows = list(range(n_f1))                          # f1 (used twice)
+        stc_rows = [n_f1 + k * cfg.Nstcobs + j
+                    for k in range(N) for j in range(cfg.Nstcobs)
+                    if stc_active[j]]
+        base = n_f1 + N * cfg.Nstcobs
+        cur_rows = [base + k * cfg.Ndynobs + m
+                    for k in range(N) for m in range(cfg.Ndynobs)
+                    if dyn_active[m, 0]]
+        base2 = base + N * cfg.Ndynobs
+        pred_rows = [base2 + k * cfg.Ndynobs + m
+                     for k in range(N) for m in range(cfg.Ndynobs)
+                     if dyn_active[m, k + 1]]
+        return np.array(stc_rows + cur_rows + pred_rows, int)
+
+    def violation(u: np.ndarray, zj) -> float:
+        f1v, stcv, dynv = (np.asarray(c) for c in cons_jit(jnp.asarray(u), zj))
+        return max(float(np.max(acc_lo - f1v, initial=0.0)),
+                   float(np.max(f1v - acc_hi, initial=0.0)),
+                   float(np.max(stcv, initial=0.0)),
+                   float(np.max(np.where(np.isfinite(dynv), dynv, -1.0),
+                                initial=0.0)))
+
+    def slsqp_best(z64: np.ndarray):
+        """Best feasible optimum over the cold multi-start set (float64),
+        on the disaggregated smooth constraint set."""
+        zj = jnp.asarray(z64, jnp.float64)
+        obs_rows = constraint_rows(z64)
+
+        def cons_fun(u):
+            f1v, stcv, dynv = (np.asarray(c)
+                               for c in cons_jit(jnp.asarray(u), zj))
+            full = np.concatenate([f1v, stcv, dynv])
+            return np.concatenate([f1v - acc_lo, acc_hi - f1v,
+                                   -full[obs_rows]])
+
+        def cons_jacobian(u):
+            J = np.asarray(cons_jac(jnp.asarray(u), zj))
+            n_f1 = 2 * N
+            return np.concatenate([J[:n_f1], -J[:n_f1], -J[obs_rows]])
+
+        cons = [{"type": "ineq", "fun": cons_fun, "jac": cons_jacobian}]
+        best = None
+        for s in starts:
+            res = minimize(
+                lambda u: float(obj64(jnp.asarray(u), zj)),
+                s,
+                jac=lambda u: np.asarray(grad64(jnp.asarray(u), zj)),
+                method="SLSQP", bounds=list(zip(lo, hi)), constraints=cons,
+                options={"maxiter": 400, "ftol": 1e-14})
+            viol = violation(res.x, zj)
+            feasible = viol <= 1e-6
+            key = (not feasible, float(res.fun) if feasible else viol)
+            if best is None or key < best[0]:
+                best = (key, res.x, float(res.fun), viol)
+        return best[1], best[2], best[3]
 
     devs, cost_gaps = [], []
-    for kt in range(args.steps):
+    for kt in range(steps):
         base.run_one_step(robot, humans, tracker_intf, predictor)
-        z = captured["z"]
-        p = unpack(jnp.asarray(z), cfg)
-        p64 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a), jnp.float32), p)
-
-        eval_jit = jax.jit(lambda u: costs.evaluate(u, p64, cfg, rob))
-        grad_jit = jax.jit(jax.grad(
-            lambda u: costs.evaluate(u, p64, cfg, rob).objective))
-
+        z64 = np.asarray(captured["z"], np.float64)
+        zj = jnp.asarray(z64, jnp.float64)
         u_ours = np.asarray(tracker._last_u, np.float64)
 
-        cons = [
-            {"type": "ineq",
-             "fun": lambda u: np.asarray(eval_jit(jnp.asarray(u, jnp.float32)).f1,
-                                         np.float64) - acc_lo},
-            {"type": "ineq",
-             "fun": lambda u: acc_hi - np.asarray(
-                 eval_jit(jnp.asarray(u, jnp.float32)).f1, np.float64)},
-            {"type": "ineq",
-             "fun": lambda u: -np.asarray(
-                 eval_jit(jnp.asarray(u, jnp.float32)).f2, np.float64)},
-        ]
-        res = minimize(
-            lambda u: float(eval_jit(jnp.asarray(u, jnp.float32)).objective),
-            u_ours,  # start SLSQP from our solution: measures stationarity
-            jac=lambda u: np.asarray(grad_jit(jnp.asarray(u, jnp.float32)),
-                                     np.float64),
-            method="SLSQP", bounds=list(zip(lo, hi)), constraints=cons,
-            options={"maxiter": 200, "ftol": 1e-12})
-
-        dev = float(np.abs(u_ours - res.x).max())
-        ours_cost = float(eval_jit(jnp.asarray(u_ours, jnp.float32)).objective)
-        gap = ours_cost - float(res.fun)
+        u_ref, f_ref, viol_ref = slsqp_best(z64)
+        dev = float(np.abs(u_ours - u_ref).max())
+        ours_cost = float(obj64(jnp.asarray(u_ours), zj))
+        viol_ours = violation(u_ours, zj)
+        gap = ours_cost - f_ref
         devs.append(dev)
         cost_gaps.append(gap)
-        print(f"step {kt}: control dev {dev:.2e}; cost ours {ours_cost:.4f} "
-              f"slsqp {res.fun:.4f} (gap {gap:+.2e})", flush=True)
+        print(f"[{profile} s{scenario_index}] step {kt}: dev {dev:.2e}; "
+              f"cost ours {ours_cost:.4f} slsqp {f_ref:.4f} (gap {gap:+.2e}; "
+              f"viol ours {viol_ours:.1e} slsqp {viol_ref:.1e})", flush=True)
+        if tracker.idle:
+            break
 
-    print(json.dumps({
-        "metric": "control_deviation_vs_independent_solver",
-        "max": float(np.max(devs)),
-        "mean": float(np.mean(devs)),
+    return {
+        "profile": profile,
+        "scenario": scenario_index,
+        "steps": len(devs),
+        "dev_max": float(np.max(devs)),
+        "dev_mean": float(np.mean(devs)),
         "cost_gap_max": float(np.max(cost_gaps)),
-        "steps": args.steps,
-    }))
+        "cost_gap_mean": float(np.mean(cost_gaps)),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--scenarios", default="0,1,2")
+    ap.add_argument("--profiles", default="default,full")
+    ap.add_argument("--starts", type=int, default=5,
+                    help="cold SLSQP multi-starts per step")
+    ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--json-out", default="")
+    args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    # TRUE float64 for the independent reference solves; the framework's
+    # own solver path pins float32 explicitly so it is unaffected.
+    jax.config.update("jax_enable_x64", True)
+
+    results = []
+    for profile in args.profiles.split(","):
+        for s in (int(x) for x in args.scenarios.split(",")):
+            results.append(run_profile_scenario(
+                profile.strip(), s, args.steps, args.starts))
+
+    overall = {
+        "metric": "control_deviation_vs_independent_cold_start_f64_solver",
+        "dev_max": max(r["dev_max"] for r in results),
+        "dev_mean": float(np.mean([r["dev_mean"] for r in results])),
+        "cost_gap_max": max(r["cost_gap_max"] for r in results),
+        "per_run": results,
+    }
+    print(json.dumps(overall))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(overall, f, indent=1)
     return 0
 
 

@@ -78,6 +78,35 @@ def test_get_ref_traj_node_crossing_quirk():
     np.testing.assert_allclose(arr[1][0], 2.5, atol=1e-9)
 
 
+def test_solver_exit_status_vocabulary():
+    """run_step maps the in-graph result onto OpEn's exit-status strings and
+    records them per step, honoring the config's `bad_exit_codes` vocabulary
+    (ref config/mpc_default.yaml; trajectory_tracker.py:334-335)."""
+    from dyobav_tpu.configs import (CircularRobotSpecification,
+                                    MpcConfiguration, SolverConfiguration)
+
+    cfg = MpcConfiguration()
+    tracker = TrajectoryTracker(
+        cfg, CircularRobotSpecification(),
+        solver_config=SolverConfiguration(max_inner_iters=3,
+                                          max_outer_iters=2,
+                                          inner_iters_later=2),
+        use_multistart=False, verbose=False)
+    tracker.load_init_states(np.array([0.0, 0.0, 0.0]),
+                             np.array([5.0, 0.0, 0.0]))
+    tracker.set_ref_trajectory([(5.0, 0.0)])
+    out = tracker.run_step(None, None, mode="work")
+    assert out != -1
+    assert len(tracker.solver_status_timelist) == 1
+    status = tracker.solver_status_timelist[0]
+    assert status in ("Converged", "NotConvergedIterations",
+                      "NotConvergedOutOfTime")
+    # The reference's bad-code vocabulary is config data, not hardcoded.
+    assert set(cfg.bad_exit_codes) == {"NotConvergedIterations",
+                                       "NotConvergedOutOfTime"}
+    assert (status == "Converged") == (status not in cfg.bad_exit_codes)
+
+
 def test_get_ref_states_window_and_padding():
     ref_traj = [(i * 0.2, 0.0, 0.0) for i in range(30)]
     state = np.array([1.05, 0.0, 0.0])  # closest to index 5

@@ -66,6 +66,28 @@ def test_fused_matches_staged():
         assert bool(a.exit_ok) or not bool(b.exit_ok)
 
 
+def test_fused_matches_staged_with_substeps():
+    """newton_substeps must mean the same thing on both program shapes:
+    the staged path (fused=False) previously ignored it silently, so e.g.
+    BENCH_FUSED=0 under the chord default profile quietly ran a weaker
+    solver (ADVICE round 1, medium)."""
+    base = dict(max_inner_iters=3, max_outer_iters=2, inner_iters_later=2,
+                newton_substeps=2)
+    staged = build_mpc_solver(CFG, ROBOT,
+                              SolverConfiguration(fused=False, **base))
+    fused = build_mpc_solver(CFG, ROBOT,
+                             SolverConfiguration(fused=True, **base))
+    u0 = jnp.tile(jnp.array([1.2, 0.0], jnp.float32), CFG.N_hor)
+    for seed in range(3):
+        z = _problem(seed)
+        a = staged.solve(z, u0)
+        b = fused.solve(z, u0)
+        np.testing.assert_allclose(np.asarray(b.u), np.asarray(a.u),
+                                   atol=5e-4)
+        np.testing.assert_allclose(float(b.cost), float(a.cost),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_chord_substeps_reach_same_solution():
     """K Newton updates per Hessian refresh (newton_substeps, the chord
     method) must land on the same fixed point as full Newton given an
