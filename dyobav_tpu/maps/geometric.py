@@ -1,8 +1,10 @@
 """Geometric (polygon) map with inflation and coordinate conversion.
 
 Mirrors `basic_map/map_geometric.GeometricMap` (map_geometric.py:35-122);
-polygon offsetting is the dependency-free convex miter offset from
-`utils.geometry` instead of pyclipper.
+polygon offsetting is the dependency-free `utils.geometry.offset_polygon`
+instead of pyclipper — exact miter joins for convex polygons, exact
+Euclidean (distance-field) offsets for general simple polygons including
+non-convex boundary deflation.
 """
 from __future__ import annotations
 
@@ -10,7 +12,7 @@ from typing import Callable, List, Tuple
 
 import numpy as np
 
-from ..utils.geometry import inflate_convex_polygon
+from ..utils.geometry import offset_polygon
 
 
 class GeometricMap:
@@ -27,11 +29,15 @@ class GeometricMap:
         self.obstacle_list = [[tuple(c) for c in obs] for obs in obstacle_list]
         if inflate_margin is not None:
             # Deflate the boundary, inflate the obstacles (map_geometric.py:49-51).
-            self.processed_boundary_coords = [
-                tuple(v) for v in inflate_convex_polygon(
-                    np.array(self.boundary_coords), -inflate_margin)]
+            deflated = offset_polygon(np.array(self.boundary_coords),
+                                      -inflate_margin)
+            if deflated.shape[0] < 3:
+                raise ValueError(
+                    "Boundary deflation by the robot margin leaves no free "
+                    "space (inradius smaller than the margin).")
+            self.processed_boundary_coords = [tuple(v) for v in deflated]
             self.processed_obstacle_list = [
-                [tuple(v) for v in inflate_convex_polygon(np.array(obs), inflate_margin)]
+                [tuple(v) for v in offset_polygon(np.array(obs), inflate_margin)]
                 for obs in self.obstacle_list]
         else:
             self.processed_boundary_coords = None

@@ -239,6 +239,133 @@ def _polygon_area(poly: np.ndarray) -> float:
     return 0.5 * abs(float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)))
 
 
+def is_convex_polygon(polygon: np.ndarray, tol: float = 1e-9) -> bool:
+    """True iff the simple polygon (n,2) is convex (either orientation).
+
+    Consecutive-edge cross products must all share one sign; exactly
+    collinear vertices are allowed.
+    """
+    poly = np.asarray(polygon, dtype=np.float64)
+    if poly.shape[0] < 4:
+        return True
+    e = np.roll(poly, -1, axis=0) - poly
+    cross = e[:, 0] * np.roll(e[:, 1], -1) - e[:, 1] * np.roll(e[:, 0], -1)
+    scale = max(float(np.abs(cross).max()), 1.0)
+    return bool(np.all(cross >= -tol * scale) or np.all(cross <= tol * scale))
+
+
+def signed_polygon_distance(points: np.ndarray, polygon: np.ndarray) -> np.ndarray:
+    """Signed Euclidean distance from (m,2) points to a simple polygon:
+    negative inside, positive outside (vectorized numpy, host-side)."""
+    pts = np.asarray(points, dtype=np.float64)
+    poly = np.asarray(polygon, dtype=np.float64)
+    a = poly
+    b = np.roll(poly, -1, axis=0)
+    d = b - a                                              # (n, 2)
+    len_sq = np.sum(d * d, axis=-1) + 1e-30
+    rel = pts[:, None, :] - a[None, :, :]                  # (m, n, 2)
+    t = np.clip(np.einsum("mnk,nk->mn", rel, d) / len_sq, 0.0, 1.0)
+    closest = a[None] + t[..., None] * d[None]
+    dist = np.sqrt(np.sum((pts[:, None, :] - closest) ** 2, axis=-1)).min(axis=1)
+    # Inside test: even-odd crossing number, vectorized over points.
+    x, y = pts[:, 0, None], pts[:, 1, None]
+    xi, yi = a[None, :, 0], a[None, :, 1]
+    xj, yj = b[None, :, 0], b[None, :, 1]
+    crosses = ((yi > y) != (yj > y)) & (
+        x < (xj - xi) * (y - yi) / (yj - yi + 1e-30) + xi)
+    inside = np.sum(crosses, axis=1) % 2 == 1
+    return np.where(inside, -dist, dist)
+
+
+def _simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker simplification of a closed ring (n,2) → (k,2)."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if pts.shape[0] <= 4:
+        return pts
+    # Anchor the ring at its two mutually farthest-ish points (farthest from
+    # centroid, then farthest from that) so closure doesn't bias the split.
+    c = pts.mean(axis=0)
+    i0 = int(np.argmax(np.sum((pts - c) ** 2, axis=1)))
+    pts = np.roll(pts, -i0, axis=0)
+    i1 = int(np.argmax(np.sum((pts - pts[0]) ** 2, axis=1)))
+
+    def dp(seg: np.ndarray) -> list:
+        if seg.shape[0] <= 2:
+            return [seg[0]]
+        a, b = seg[0], seg[-1]
+        d = np.asarray(lineseg_dists(jnp.asarray(seg[1:-1]),
+                                     jnp.asarray(a[None]), jnp.asarray(b[None])))[:, 0]
+        k = int(np.argmax(d))
+        if d[k] <= tol:
+            return [a]
+        return dp(seg[:k + 2]) + dp(seg[k + 1:])
+
+    first = dp(pts[:i1 + 1])
+    second = dp(np.concatenate([pts[i1:], pts[:1]], axis=0))
+    return np.array(first + second)
+
+
+def offset_polygon(polygon: np.ndarray, margin: float,
+                   resolution: float | None = None) -> np.ndarray:
+    """Offset an arbitrary SIMPLE polygon by `margin` (negative = deflate).
+
+    The general-polygon replacement for the reference's pyclipper `Inflator`
+    (`basic_map/map_geometric.py:10-32`, `JT_MITER` / `ET_CLOSEDPOLYGON`):
+
+      * Convex inputs take the exact miter-join path
+        (`inflate_convex_polygon`) — identical to pyclipper's JT_MITER for
+        the blob-bounding rectangles, whose 90° corners never reach the
+        miter limit.
+      * Non-convex inputs (and non-convex deflation, e.g. the boundary
+        C-space at `map_geometric.py:49-51`) use the exact EUCLIDEAN offset:
+        the `margin` level-set of the signed distance field, extracted with
+        contourpy and Douglas–Peucker-simplified.  This handles reflex
+        vertices, notch collapse, and self-intersection cleanup by
+        construction, and is the geometrically correct C-space for a
+        circular-footprint robot (round joins; pyclipper's miter join
+        overshoots convex corners).  Like the reference, which keeps
+        `Execute(...)[0]`, the largest output contour is returned.
+
+    Returns (k, 2) vertices (CCW), or an empty (0, 2) array if the polygon
+    vanishes (deflation larger than the inradius).
+    """
+    poly = np.asarray(polygon, dtype=np.float64)
+    if abs(margin) < 1e-12:
+        return poly.copy()
+    if is_convex_polygon(poly):
+        return inflate_convex_polygon(poly, margin)
+
+    import contourpy
+
+    lo = poly.min(axis=0) - (abs(margin) + 1e-6) * 1.5
+    hi = poly.max(axis=0) + (abs(margin) + 1e-6) * 1.5
+    extent = float(np.max(hi - lo))
+    if resolution is None:
+        # Resolve corners to ~margin/16 but bound the grid to ~1500² cells.
+        resolution = max(min(extent / 512.0, abs(margin) / 16.0),
+                         extent / 1500.0)
+    xs = np.arange(lo[0], hi[0] + resolution, resolution)
+    ys = np.arange(lo[1], hi[1] + resolution, resolution)
+    gx, gy = np.meshgrid(xs, ys)
+    pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    sdist = signed_polygon_distance(pts, poly).reshape(gy.shape)
+
+    gen = contourpy.contour_generator(xs, ys, sdist)
+    rings = [np.asarray(r) for r in gen.lines(margin)]
+    rings = [r for r in rings if r.shape[0] >= 4]
+    if not rings:
+        return np.zeros((0, 2))
+    ring = max(rings, key=_polygon_area)
+    if np.allclose(ring[0], ring[-1]):
+        ring = ring[:-1]
+    ring = _simplify_ring(ring, tol=resolution * 0.75)
+    # Canonical CCW orientation.
+    x, y = ring[:, 0], ring[:, 1]
+    if float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)) < 0:
+        ring = ring[::-1]
+    return ring
+
+
 def point_in_polygon(point: np.ndarray, polygon: np.ndarray) -> bool:
     """Ray-casting point-in-polygon (host-side; replaces shapely contains)."""
     x, y = float(point[0]), float(point[1])
