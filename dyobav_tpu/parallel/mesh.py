@@ -18,6 +18,55 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host entry: initialize `jax.distributed` so `jax.devices()`
+    spans every host of the slice/pod (ICI within a slice, DCN across
+    slices) and collectives ride the global mesh.
+
+    With no arguments, cluster parameters come from the TPU pod metadata /
+    environment (the standard multi-host JAX bootstrap).  On a single host
+    with no cluster environment this degrades to a no-op and returns False,
+    so the same entry point runs everywhere (SURVEY.md §2.3 point 2).
+
+    Must run before the first backend use on a fresh process; in this
+    repo's pre-imported-JAX container that means passing --distributed
+    only to dedicated sweep processes launched with JAX_PLATFORMS=tpu.
+    """
+    if jax.process_count() > 1:
+        return True                     # already initialized
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    try:
+        jax.distributed.initialize(**kwargs)
+        return True
+    except (ValueError, RuntimeError) as e:   # single host, no cluster env
+        import sys
+        print(f"init_distributed: single-host fallback ({e})",
+              file=sys.stderr)
+        return False
+
+
+def make_global_batch(mesh: Mesh, tree):
+    """Build batch-sharded GLOBAL arrays from host-replicated numpy data.
+
+    Every process passes the identical full batch (same seed → same
+    scenarios); each host materializes only its addressable shards.  On a
+    single host this is equivalent to `shard_batch`.
+    """
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree)
+
+
 def make_mesh(n_devices: Optional[int] = None,
               devices: Optional[Sequence] = None) -> Mesh:
     """1-D data-parallel mesh over the first `n_devices` devices."""

@@ -96,13 +96,14 @@ class MmpInterface:
             if checkpoint_path:
                 self.network_manager.load_checkpoint(checkpoint_path)
         self._snapper: ObstacleSnapper | None = None
-        self._snapper_key: int | None = None
+        self._snapper_src: np.ndarray | None = None
 
     def _get_snapper(self, ref_image: np.ndarray) -> ObstacleSnapper:
-        key = id(ref_image)
-        if self._snapper is None or self._snapper_key != key:
+        # Cache keyed on object identity, holding a strong reference to the
+        # keyed array so a GC'd id can never alias a different map.
+        if self._snapper is None or self._snapper_src is not ref_image:
             self._snapper = ObstacleSnapper(255.0 - np.asarray(ref_image))
-            self._snapper_key = key
+            self._snapper_src = ref_image
         return self._snapper
 
     def get_motion_prediction(self, input_traj: List[tuple],

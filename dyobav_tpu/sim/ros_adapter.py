@@ -93,6 +93,12 @@ class RosTransport:
         elif channel == "viz":
             from std_msgs.msg import String
             self._viz_pub.publish(String(data=json.dumps(message)))
+        else:
+            # Publishes to unknown channels are wiring bugs; surface them
+            # instead of silently dropping the message.
+            self._rospy.logwarn(
+                f"RosTransport: publish to unknown channel '{channel}' "
+                "(expected 'cmd_vel' or 'viz') — dropped")
 
     # -- ROS side ----------------------------------------------------------
     def _dispatch(self, channel: str, message: dict):
@@ -112,6 +118,8 @@ class RosTransport:
     def spin(self, node, ts: float, mode: str = "super"):
         """Run `node.control_tick(mode)` every `ts` seconds until shutdown
         (the reference's rate-loop, main_ros.py:379-405)."""
+        if not ts > 0:
+            raise ValueError(f"spin() needs a positive control period, got ts={ts}")
         rate = self._rospy.Rate(1.0 / ts)
         while not self._rospy.is_shutdown():
             node.control_tick(mode)

@@ -25,6 +25,9 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--devices", type=int, default=0,
                     help="mesh size (0 = all available)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: jax.distributed over ICI/DCN; run one "
+                         "process per host (degenerate no-op on one host)")
     ap.add_argument("--inner-iters", type=int, default=10)
     ap.add_argument("--outer-iters", type=int, default=3)
     args = ap.parse_args(argv)
@@ -33,11 +36,15 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from ..configs import SolverConfiguration
-    from ..parallel.mesh import make_mesh, pad_to_multiple, shard_batch
+    from ..parallel.mesh import (init_distributed, make_global_batch,
+                                 make_mesh, pad_to_multiple, shard_batch)
     from .batch import Scenario, build_batch_sim
     from .fleet import FleetScenario, build_fleet_sim
     from .harness import MainBase
     from .scenarios import random_fleet_scenarios, random_scenarios
+
+    if args.distributed:
+        init_distributed()
 
     base = MainBase(max_run_time_step=args.steps, evaluation=True,
                     seed=args.seed)
@@ -53,10 +60,15 @@ def main(argv=None) -> int:
     mesh = make_mesh(n_dev)
     cls = FleetScenario if fleet else Scenario
     padded = cls(*[
-        jnp.asarray(pad_to_multiple(np.asarray(x), n_dev)[0])
-        for x in batch])
+        pad_to_multiple(np.asarray(x), n_dev)[0] for x in batch])
     true_n = args.n
-    padded = shard_batch(mesh, padded)
+    if args.distributed:
+        # Every process holds the identical batch (same seed); each host
+        # materializes only its addressable shards of the global arrays.
+        padded = make_global_batch(mesh, padded)
+    else:
+        padded = shard_batch(
+            mesh, cls(*[jnp.asarray(x) for x in padded]))
 
     scfg = SolverConfiguration(max_inner_iters=args.inner_iters,
                                max_outer_iters=args.outer_iters,
@@ -78,6 +90,47 @@ def main(argv=None) -> int:
     res = run(padded, seeds)
     res.success.block_until_ready()
     steady = time.perf_counter() - t0
+
+    if args.distributed and jax.process_count() > 1:
+        # Multi-host: per-element fetches cannot address remote shards, so
+        # the statistics reduce IN-GRAPH (XLA collectives over ICI/DCN) to
+        # replicated scalars every host can read; process 0 prints.
+        @jax.jit
+        def reduce_global(res):
+            B = res.success.shape[0]
+            valid = jnp.arange(B) < true_n
+            coll = res.collided
+            if coll.ndim > 1:                 # fleet: per-robot flags
+                coll = coll.any(axis=1)
+            finite = jnp.isfinite(res.min_clearance) & valid
+            return (
+                jnp.sum(jnp.where(valid, res.success, False)) / true_n,
+                jnp.sum(jnp.where(valid, coll, False)) / true_n,
+                jnp.sum(jnp.where(finite, res.min_clearance, 0.0))
+                / jnp.maximum(jnp.sum(finite), 1),
+                jnp.sum(jnp.where(valid, res.steps_used, 0)) / true_n,
+            )
+
+        succ_m, coll_m, clear_m, steps_m = (
+            float(x) for x in reduce_global(res))
+        out = {
+            "n_scenarios": true_n,
+            "devices": n_dev,
+            "hosts": jax.process_count(),
+            "robots": args.robots,
+            "success_rate": succ_m,
+            "collision_rate": coll_m,
+            "timeout_rate": float(1.0 - succ_m - coll_m),
+            "min_clearance_mean": clear_m,
+            "steps_used_mean": steps_m,
+            "wall_s_first": round(first, 2),
+            "wall_s_steady": round(steady, 2),
+            "control_steps_per_s": round(
+                true_n * args.steps * args.robots / steady, 1),
+        }
+        if jax.process_index() == 0:
+            print(json.dumps(out))
+        return 0
 
     success = np.asarray(res.success)[:true_n]
     collided = np.asarray(res.collided)[:true_n]

@@ -50,9 +50,9 @@ def main() -> int:
 
     ds = WsdDataset(args.data)
     H, W = ds.image_shape()
-    mgr = NetworkManager(WtaNetConfiguration(x_max_px=W, y_max_px=H),
-                         verbose=False)
-    mgr.build_network(input_shape=(1, H, W, 7))
+    cfg = WtaNetConfiguration(x_max_px=W, y_max_px=H)
+    mgr = NetworkManager(cfg, verbose=False)
+    mgr.build_network(input_shape=(1, H, W, cfg.input_channel))
     mgr.load_checkpoint(args.ckpt)
 
     # Group sample indices by video so every device batch shares one map
@@ -70,6 +70,10 @@ def main() -> int:
             continue
         plan.append((v, rng.choice(by_video[v], args.batch_size,
                                    replace=False)))
+    if not plan:
+        print(f"error: no video in {args.data} has >= {args.batch_size} "
+              "samples; lower --batch-size", file=sys.stderr)
+        return 1
     dh = DataHandler(ds, batch_size=args.batch_size, seed=args.seed)
 
     @jax.jit
