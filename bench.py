@@ -92,6 +92,8 @@ def main() -> int:
     scfg = SolverConfiguration(max_inner_iters=inner, max_outer_iters=outer,
                                inner_iters_later=later, newton_substeps=sub,
                                initial_penalty=pen,
+                               linear_solver=os.environ.get(
+                                   "BENCH_LINSOLVE", "schulz"),
                                fused=os.environ.get("BENCH_FUSED", "1") != "0")
     bundle = build_mpc_solver(cfg, robot, scfg)
 

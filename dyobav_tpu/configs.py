@@ -220,6 +220,15 @@ class SolverConfiguration:
     fused: bool = True              # single-scan ALM (masked stage updates;
                                     # ~4x faster compiles, identical controls)
                                     # vs Python-unrolled outer stages
+    linear_solver: str = "cholesky"  # "cholesky" (XLA custom call; exact,
+                                    # but serialized per matrix on TPU) or
+                                    # "schulz" (Newton–Schulz inverse via
+                                    # batched matmuls; MXU-native — measured
+                                    # to remove ~85% of TPU solve time, see
+                                    # ops/newton.schulz_spd_solve)
+    schulz_iters: int = 14          # Newton–Schulz iterations (error squares
+                                    # each iteration from the Gershgorin
+                                    # starting point)
     cold_profile: Any = None        # optional (inner, outer, later, substeps)
                                     # used for the FIRST solve of an episode
                                     # (no warm start).  Lean iteration

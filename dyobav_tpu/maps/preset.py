@@ -71,6 +71,56 @@ def rotated_block(width: float = 10.0, height: float = 10.0,
     return b, [poly]
 
 
+# --------------------------------------------------------------------------
+# Scene maps — the reference's preset_maps/scene_maps.py:1-46, verbatim
+# geometry.  The FTD boundary is NON-convex (E-shaped), exercising the
+# general polygon-offset path in GeometricMap.
+# --------------------------------------------------------------------------
+
+def ftd_map() -> MapSpec:
+    """FTD (Factory Traffic Dataset) scene (scene_maps.py:11-17)."""
+    boundary = [(0, 0), (10.0, 0), (10.0, 2.5), (6.0, 2.5), (6.0, 4.5),
+                (10.0, 4.5), (10.0, 6.5), (6.0, 6.5), (6.0, 10.0),
+                (4.0, 10.0), (4.0, 6.5), (0, 6.5), (0, 4.5), (4.0, 4.5),
+                (4.0, 2.5), (0, 2.5)]
+    obstacles = [[(5.3, 2.3), (5.3, 4.5), (5.7, 4.5), (5.7, 2.5)]]
+    return boundary, obstacles
+
+
+def crosswalk_map(with_static_obs: bool = True):
+    """Crosswalk over a lane connecting two sidewalks
+    (scene_maps.py:19-30).  Returns (boundary, obstacles, crossing_area)."""
+    boundary = [(0.0, 0.0), (16.0, 0.0), (16.0, 10.0), (0.0, 10.0)]
+    obstacles = [[(0.0, 1.5), (0.0, 1.6), (9.0, 1.6), (9.0, 1.5)],
+                 [(0.0, 8.4), (0.0, 8.5), (9.0, 8.5), (9.0, 8.4)],
+                 [(11.0, 1.5), (11.0, 1.6), (16.0, 1.6), (16.0, 1.5)],
+                 [(11.0, 8.4), (11.0, 8.5), (16.0, 8.5), (16.0, 8.4)]]
+    if with_static_obs:
+        obstacles.append([(3.0, 3.3), (3.0, 3.7), (4.0, 3.7), (4.0, 3.3)])
+    crossing_area = [(9.0, 1.5), (11.0, 1.5), (11.0, 8.5), (9.0, 8.5)]
+    return boundary, obstacles, crossing_area
+
+
+def crossing_map():
+    """Four-corner road crossing with sidewalks and crossing areas
+    (scene_maps.py:32-45).  Returns (boundary, obstacles, sidewalks,
+    crossing_areas)."""
+    boundary = [(0, 0), (12, 0), (12, 16), (0, 16)]
+    obstacles = [[(0, 0), (0, 3), (3, 3), (3, 0)],
+                 [(0, 9), (0, 12), (3, 12), (3, 9)],
+                 [(9, 9), (9, 12), (12, 12), (12, 9)],
+                 [(9, 0), (9, 3), (12, 3), (12, 0)]]
+    sidewalks = [[(0, 3), (0, 4), (4, 4), (4, 0), (3, 0), (3, 3)],
+                 [(0, 8), (0, 9), (3, 9), (3, 12), (4, 12), (4, 8)],
+                 [(8, 8), (8, 12), (9, 12), (9, 9), (12, 9), (12, 8)],
+                 [(8, 0), (8, 4), (12, 4), (12, 3), (9, 3), (9, 0)]]
+    crossing_areas = [[(4, 3), (4, 4), (8, 4), (8, 3)],
+                      [(3, 4), (3, 8), (4, 8), (4, 4)],
+                      [(4, 8), (4, 9), (8, 9), (8, 8)],
+                      [(8, 4), (8, 8), (9, 8), (9, 4)]]
+    return boundary, obstacles, sidewalks, crossing_areas
+
+
 PRESETS = {
     "empty": empty_map,
     "single_block": single_block,
@@ -78,6 +128,9 @@ PRESETS = {
     "slalom": slalom,
     "crossing": crossing,
     "rotated_block": rotated_block,
+    "ftd": ftd_map,
+    "crosswalk": lambda **kw: crosswalk_map(**kw)[:2],
+    "crossing_scene": lambda **kw: crossing_map()[:2],
 }
 
 

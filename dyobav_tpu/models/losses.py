@@ -128,6 +128,32 @@ def loss_central_oracle(mu, data):
     return jnp.min(mse, axis=1)
 
 
+# ------------------------------------------------- manager loss adapters
+# `NetworkManager` is net/loss-agnostic (the reference injects a loss dict,
+# network_manager.py:21-64); adapters share one signature
+# (outputs, labels, k_top, relax) -> scalar so any net/loss pair trains.
+
+def wta_meta_loss(outputs, labels, k_top: int = 1, relax: float = 0.0):
+    """Default SWTA objective: evolving/relaxed WTA over (B, M, C) hypos."""
+    return meta_loss(outputs, labels, loss_mse, k_top=k_top, relax=relax)
+
+
+def mdn_nll_loss(outputs, labels, k_top: int = 1, relax: float = 0.0):
+    """Classic-MDN objective: mixture NLL; outputs = (α, μ, σ) with σ a
+    standard deviation (ClassicMixtureDensityModule)."""
+    del k_top, relax
+    alp, mu, sigma = outputs
+    return loss_nll_mdn(alp, mu, sigma, labels)
+
+
+def smdn_nll_loss(outputs, labels, k_top: int = 1, relax: float = 0.0):
+    """Sampling-MDN objective: mixture NLL; outputs = (α, μ, σ²) with a
+    VARIANCE third element (SamplingMixtureDensityModule)."""
+    del k_top, relax
+    alp, mu, var = outputs
+    return loss_nll_mdn(alp, mu, jnp.sqrt(var + 1e-6), labels)
+
+
 def default_k_top_schedule(num_epochs: int, num_hypos: int) -> list:
     """Evolving-WTA schedule: anneal k from M → 1 over training.
 

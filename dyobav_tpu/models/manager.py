@@ -31,9 +31,19 @@ class TrainState(train_state.TrainState):
 
 
 class NetworkManager:
+    """Net/loss-agnostic, like the reference manager (network_manager.py:
+    21-64 takes the net class and a loss dict): `net` is any Flax module
+    whose `apply(variables, images, train=...)` produces the outputs the
+    loss consumes, and `loss` is either a callable
+    `(outputs, labels, k_top=..., relax=...) -> scalar` or a reference-style
+    dict with a "loss" entry.  Defaults reproduce the SWTA pipeline
+    (ConvMultiHypoNet + evolving-WTA meta-loss); the MDN variants train by
+    passing e.g. `ConvMixtureDensityNet` + `losses.mdn_nll_loss`.
+    """
+
     def __init__(self, config: WtaNetConfiguration,
-                 net: ConvMultiHypoNet | None = None,
-                 loss: Dict | None = None, seed: int = 0, verbose: bool = True):
+                 net=None, loss: Dict | Any | None = None,
+                 seed: int = 0, verbose: bool = True):
         self.config = config
         self.vb = verbose
         self.M = config.num_hypos
@@ -41,7 +51,9 @@ class NetworkManager:
         self.wr = config.weight_regularization
         self.net = net or ConvMultiHypoNet(dim_out=config.dim_out,
                                            num_hypos=config.num_hypos)
-        self.loss_cfg = loss or {}
+        if isinstance(loss, dict):
+            loss = loss.get("loss")
+        self.loss_fn = loss or losses.wta_meta_loss
         self.seed = seed
         self.state: Optional[TrainState] = None
         self.Loss: List[float] = []
@@ -98,8 +110,7 @@ class NetworkManager:
             outputs, mutated = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 images, train=True, mutable=["batch_stats"])
-            loss = losses.meta_loss(outputs, labels, losses.loss_mse,
-                                    k_top=k_top, relax=relax)
+            loss = self.loss_fn(outputs, labels, k_top=k_top, relax=relax)
             return loss, mutated["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -113,7 +124,7 @@ class NetworkManager:
         outputs = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             images, train=False)
-        return losses.meta_loss(outputs, labels, losses.loss_mse, k_top=k_top)
+        return self.loss_fn(outputs, labels, k_top=k_top)
 
     @partial(jax.jit, static_argnames=("self", "k_top"))
     def _eval_step_fused(self, state: TrainState, trajs, offsets, labels,
@@ -125,12 +136,15 @@ class NetworkManager:
         outputs = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             images, train=False)
-        return losses.meta_loss(outputs, labels, losses.loss_mse, k_top=k_top)
+        return self.loss_fn(outputs, labels, k_top=k_top)
 
-    def inference(self, input_data: np.ndarray) -> np.ndarray:
-        """Batched no-grad forward → (B, M, C) hypotheses
-        (network_manager.py:102-115)."""
+    def inference(self, input_data: np.ndarray):
+        """Batched no-grad forward (network_manager.py:102-115) →
+        (B, M, C) hypotheses for the SWTA net, or a tuple of numpy arrays
+        (e.g. (α, μ, σ)) for the MDN variants."""
         out = self._infer_jit(self.state, jnp.asarray(input_data, jnp.float32))
+        if isinstance(out, tuple):
+            return tuple(np.asarray(o) for o in out)
         return np.asarray(out)
 
     @partial(jax.jit, static_argnames=("self",))

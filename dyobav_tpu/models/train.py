@@ -48,6 +48,10 @@ def main(argv=None) -> int:
     ap.add_argument("--recalibrate-bn", type=int, default=100,
                     help="BatchNorm running-stat refresh batches after "
                          "training (0 = skip)")
+    ap.add_argument("--net", default="wta", choices=["wta", "mdn", "mdnfit"],
+                    help="predictor family: SWTA multi-hypothesis (default), "
+                         "classic MDN head, or WTA+sampling-MDN fit "
+                         "(reference net.py:106/145/194)")
     args = ap.parse_args(argv)
 
     ds = WsdDataset(args.data)
@@ -65,7 +69,20 @@ def main(argv=None) -> int:
         real_bpe = dh.batches_per_epoch
         dh.batches_per_epoch = lambda: min(args.steps_per_epoch, real_bpe())
 
-    mgr = NetworkManager(cfg, seed=args.seed)
+    if args.net == "mdn":
+        from .mdn import ConvMixtureDensityNet
+        mgr = NetworkManager(
+            cfg, net=ConvMixtureDensityNet(dim_out=cfg.dim_out,
+                                           num_components=cfg.num_hypos),
+            loss=losses.mdn_nll_loss, seed=args.seed)
+    elif args.net == "mdnfit":
+        from .mdn import ConvMultiHypoMixtureDensityFit
+        mgr = NetworkManager(
+            cfg, net=ConvMultiHypoMixtureDensityFit(
+                dim_out=cfg.dim_out, num_hypos=cfg.num_hypos, num_gaus=5),
+            loss=losses.smdn_nll_loss, seed=args.seed)
+    else:
+        mgr = NetworkManager(cfg, seed=args.seed)
     mgr.build_network(input_shape=(1, H, W, cfg.input_channel))
     if args.resume:
         mgr.load_checkpoint(args.resume)

@@ -35,6 +35,43 @@ from ..configs import SolverConfiguration
 _LM_LADDER = (0.2, 1.0, 5.0, 50.0)
 
 
+def schulz_spd_solve(A: jnp.ndarray, g: jnp.ndarray,
+                     iters: int = 14) -> jnp.ndarray:
+    """SPD solve A⁻¹g via Newton–Schulz inverse iteration — matmuls only.
+
+    XLA lowers `jax.scipy.linalg.solve(assume_a="pos")` to a "Cholesky"
+    TPU custom call that serializes per matrix: a device trace
+    (scripts/trace_solver.py) measured it at 88% of the whole ALM-Newton
+    solve (242 of 290 ms per B=1024 chord solve batch, ~5 GFLOP/s).
+    Newton–Schulz replaces it with 2 batched 40×40 matmuls per iteration —
+    native MXU work that vmaps over both the problem batch and the LM
+    damping ladder.
+
+    X₀ = I/λ̄ with λ̄ the Gershgorin row-sum bound guarantees
+    ‖I − X₀A‖ < 1 for SPD A; each iteration squares the error.  The
+    returned step is inexact at float32 level for ill-conditioned rungs,
+    which the LM ladder's merit comparison absorbs (a slightly-off
+    candidate direction loses the ladder, nothing breaks).
+    """
+    n = A.shape[-1]
+    eye_n = jnp.eye(n, dtype=A.dtype)
+    lam = jnp.max(jnp.sum(jnp.abs(A), axis=-1), axis=-1)
+    X = eye_n / lam[..., None, None]
+
+    def body(X, _):
+        AX = A @ X
+        X = X @ (2.0 * eye_n - AX)
+        # NO symmetrization: the (4096, 40, 40) transposes it would need
+        # are sublane shuffles that measured 2.3x slower end-to-end
+        # (scripts/schulz_tune.py: 10,683 vs 4,693 solves/s), while f32
+        # asymmetry drift stays below the step-quality noise the LM
+        # ladder's merit test already absorbs.
+        return X, None
+
+    X, _ = jax.lax.scan(body, X, None, length=iters)
+    return jnp.einsum("...ij,...j->...i", X, g)
+
+
 class NewtonResult(NamedTuple):
     u: jnp.ndarray
     cost: jnp.ndarray
@@ -60,6 +97,11 @@ def make_alm_newton_solver(
     # the scan carry and break the fixed-point structure).
     eye = jnp.eye(n, dtype=u_lo.dtype)
     bound_eps = 1e-9
+
+    if scfg.linear_solver == "schulz":
+        lin_solve = lambda A, g: schulz_spd_solve(A, g, scfg.schulz_iters)
+    else:
+        lin_solve = lambda A, g: jax.scipy.linalg.solve(A, g, assume_a="pos")
 
     def proj_box(u):
         return jnp.clip(u, u_lo, u_hi)
@@ -127,7 +169,7 @@ def make_alm_newton_solver(
                 def candidate(mult):
                     lam_c = lam * mult
                     A = H_free + lam_c * jnp.diag(diag_scale)
-                    d = -jax.scipy.linalg.solve(A, g_free, assume_a="pos")
+                    d = -lin_solve(A, g_free)
                     u_c = proj_box(u + d)
                     psi_c = merit_fn(u_c, y, c)
                     valid = jnp.all(jnp.isfinite(u_c)) & jnp.isfinite(psi_c)
@@ -224,7 +266,7 @@ def make_alm_newton_solver(
                 def candidate(mult):
                     lam_c = lam * mult
                     A = H_free + lam_c * jnp.diag(diag_scale)
-                    d = -jax.scipy.linalg.solve(A, g_free, assume_a="pos")
+                    d = -lin_solve(A, g_free)
                     u_c = proj_box(u + d)
                     psi_c = merit_fn(u_c, y, c)
                     valid = jnp.all(jnp.isfinite(u_c)) & jnp.isfinite(psi_c)

@@ -226,6 +226,15 @@ class TrajectoryTracker:
         brake = np.stack([ramp, np.zeros(N)], axis=1).reshape(-1)
         guesses.append(brake)
         guesses.append(np.zeros(nu * N))
+        # Swerve arcs: commit left/right around an obstacle.  The warm
+        # start keeps the previous basin; these let the solver hop to the
+        # other side when it became cheaper (cold multi-start SLSQP found
+        # such basins on ~3% of steps in the round-2 parity study).
+        w = 0.6 * self.robot_spec.ang_vel_max
+        for sgn in (+1.0, -1.0):
+            arc = np.stack([np.full(N, self.base_speed),
+                            np.full(N, sgn * w)], axis=1).reshape(-1)
+            guesses.append(arc)
         return np.stack(guesses).astype(np.float32)
 
     def run_step(self, stc_constraints: list | None,

@@ -76,3 +76,30 @@ def test_ros_adapter_pure_conversions():
         orientation=SimpleNamespace(x=0.0, y=0.0, z=0.0, w=1.0))))
     pose = odometry_to_pose(msg)
     assert pose == {"x": 1.5, "y": -2.0, "theta": 0.0}
+
+
+def test_scene_maps_geometry():
+    """Scene presets reproduce the reference's scene_maps.py:1-46 geometry
+    and run through GeometricMap (the FTD boundary is non-convex)."""
+    import numpy as np
+    from dyobav_tpu.maps.preset import (crossing_map, crosswalk_map, ftd_map,
+                                        get_preset)
+    from dyobav_tpu.maps.geometric import GeometricMap
+    from dyobav_tpu.utils.geometry import signed_polygon_distance
+
+    boundary, obstacles = ftd_map()
+    assert len(boundary) == 16 and len(obstacles) == 1
+    gm = GeometricMap(boundary, obstacles, inflate_margin=0.3)
+    deflated = np.array(gm.processed_boundary_coords)
+    # True Euclidean deflation of the E-shaped boundary.
+    d = signed_polygon_distance(deflated, np.array(boundary))
+    assert np.all(d < -0.25) and np.abs(d + 0.3).max() < 0.05
+
+    b, obs, crossing_area = crosswalk_map()
+    assert len(obs) == 5 and len(crossing_area) == 4
+    b2, obs2, walks, areas = crossing_map()
+    assert len(obs2) == 4 and len(walks) == 4 and len(areas) == 4
+    # Registry exposure.
+    for name in ("ftd", "crosswalk", "crossing_scene"):
+        bb, oo = get_preset(name)
+        assert len(bb) >= 4
