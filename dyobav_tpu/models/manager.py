@@ -186,10 +186,26 @@ class NetworkManager:
             ref_maps = {v: jnp.asarray(a) for v, a in ref_maps.items()}
         min_val = np.inf
         stall = 0
+        # Loss readbacks are DEFERRED: fetching the scalar every step forces
+        # a device→host sync per batch (a full RPC round trip on a remote
+        # TPU — measured 16x slower than the async-dispatched step itself).
+        # Losses accumulate on device and sync in bursts.
+        sync_every = max(int(val_after_batch), 1)
         for ep in range(epochs):
             self.set_epoch_lr(ep)
             k_top = int(k_top_list[ep])
             n_batches = data_handler.batches_per_epoch()
+            pending: List = []
+
+            def sync_losses() -> bool:
+                """Drain pending device losses; True if NaN encountered."""
+                if not pending:
+                    return False
+                vals = np.asarray(jnp.stack(pending))
+                pending.clear()
+                self.Loss.extend(float(v) for v in vals)
+                return bool(np.isnan(vals).any())
+
             for bi in range(n_batches):
                 batch = data_handler.next_batch()
                 one_video = len(set(batch["video"])) == 1
@@ -206,20 +222,24 @@ class NetworkManager:
                     self.state, loss = self._train_step(
                         self.state, jnp.asarray(images), jnp.asarray(labels),
                         k_top, relax if k_top == 1 else 0.0)
-                loss = float(loss)
-                if np.isnan(loss):
-                    print("Loss is NaN — training aborted.")
-                    self.complete = False
-                    return
-                self.Loss.append(loss)
-                if (bi + 1) % val_after_batch == 0:
+                pending.append(loss)
+                if (bi + 1) % sync_every == 0:
+                    if sync_losses():
+                        print("Loss is NaN — training aborted.")
+                        self.complete = False
+                        return
                     self.Val_loss.append(self._validate(
                         data_handler, rasterize, k_top,
                         shared_map=shared_map, ref_maps=ref_maps))
-                if self.vb and bi % 10 == 0:
-                    print(f"\rEpoch {ep + 1}/{epochs} k={k_top} "
-                          f"batch {bi + 1}/{n_batches} loss={loss:.4f}   ",
-                          end="")
+                    if self.vb:
+                        print(f"\rEpoch {ep + 1}/{epochs} k={k_top} "
+                              f"batch {bi + 1}/{n_batches} "
+                              f"loss={self.Loss[-1]:.4f}   ", end="",
+                              flush=True)
+            if sync_losses():
+                print("Loss is NaN — training aborted.")
+                self.complete = False
+                return
             val = self._validate(data_handler, rasterize, k_top,
                                  shared_map=shared_map, ref_maps=ref_maps)
             self.Val_loss.append(val)

@@ -48,6 +48,10 @@ def main(argv=None) -> int:
     ap.add_argument("--recalibrate-bn", type=int, default=100,
                     help="BatchNorm running-stat refresh batches after "
                          "training (0 = skip)")
+    ap.add_argument("--val-every", type=int, default=20,
+                    help="batches between validation/loss-sync points; on a "
+                         "remote TPU each sync is a blocking RPC round trip, "
+                         "so large datasets want 200+")
     ap.add_argument("--net", default="wta", choices=["wta", "mdn", "mdnfit"],
                     help="predictor family: SWTA multi-hypothesis (default), "
                          "classic MDN head, or WTA+sampling-MDN fit "
@@ -97,6 +101,7 @@ def main(argv=None) -> int:
         k_top_list = losses.default_k_top_schedule(args.epochs, cfg.num_hypos)
     t0 = time.time()
     mgr.train(dh, args.batch_size, args.epochs, k_top_list=k_top_list,
+              val_after_batch=args.val_every,
               checkpoint_dir=os.path.dirname(args.out) or ".",
               relax=args.relax)
     hours = (time.time() - t0) / 3600

@@ -100,6 +100,9 @@ def make_alm_newton_solver(
 
     if scfg.linear_solver == "schulz":
         lin_solve = lambda A, g: schulz_spd_solve(A, g, scfg.schulz_iters)
+    elif scfg.linear_solver == "pallas":
+        from .pallas_spd import spd_solve
+        lin_solve = spd_solve
     else:
         lin_solve = lambda A, g: jax.scipy.linalg.solve(A, g, assume_a="pos")
 
