@@ -52,11 +52,20 @@ def main(argv=None) -> int:
                     help="batches between validation/loss-sync points; on a "
                          "remote TPU each sync is a blocking RPC round trip, "
                          "so large datasets want 200+")
+    ap.add_argument("--device-loop", type=int, default=1,
+                    help="1 = stage the whole index in HBM and run chunked "
+                         "lax.scan epochs (one dispatch per --chunk-steps "
+                         "optimizer steps); 0 = host-paced loop")
+    ap.add_argument("--chunk-steps", type=int, default=512,
+                    help="optimizer steps per dispatch in the device loop")
     ap.add_argument("--net", default="wta", choices=["wta", "mdn", "mdnfit"],
                     help="predictor family: SWTA multi-hypothesis (default), "
                          "classic MDN head, or WTA+sampling-MDN fit "
                          "(reference net.py:106/145/194)")
     args = ap.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 
     ds = WsdDataset(args.data)
     if args.max_samples and len(ds) > args.max_samples:
@@ -100,10 +109,17 @@ def main(argv=None) -> int:
     else:
         k_top_list = losses.default_k_top_schedule(args.epochs, cfg.num_hypos)
     t0 = time.time()
-    mgr.train(dh, args.batch_size, args.epochs, k_top_list=k_top_list,
-              val_after_batch=args.val_every,
-              checkpoint_dir=os.path.dirname(args.out) or ".",
-              relax=args.relax)
+    ckpt_dir = os.path.dirname(args.out) or "."
+    if args.device_loop and not args.steps_per_epoch:
+        mgr.train_on_device(dh, args.batch_size, args.epochs,
+                            k_top_list=k_top_list,
+                            chunk_steps=args.chunk_steps,
+                            checkpoint_dir=ckpt_dir, relax=args.relax)
+    else:
+        mgr.train(dh, args.batch_size, args.epochs, k_top_list=k_top_list,
+                  val_after_batch=args.val_every,
+                  checkpoint_dir=ckpt_dir,
+                  relax=args.relax)
     hours = (time.time() - t0) / 3600
     print(f"\nTraining done: {n_params} parameters. Cost time: {hours:.4f}h.")
 

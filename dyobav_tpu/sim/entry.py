@@ -31,11 +31,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="SWTA checkpoint for the mmp predictor "
                         "(default: Model/wsd_1t20)")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--platform", default="",
+                   help="JAX platform override (e.g. 'cpu'). The container "
+                        "pre-imports jax with the TPU plugin selected, so "
+                        "env vars are too late; this routes through "
+                        "jax.config before any backend is initialized.")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     predictor = None if args.predictor in (None, "none") else args.predictor
     evaluation = args.command == "eval"
 

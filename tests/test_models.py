@@ -167,6 +167,53 @@ def test_manager_train_smoke(tmp_path):
     np.testing.assert_allclose(mgr2.inference(images), out, atol=1e-6)
 
 
+def test_manager_train_on_device(tmp_path):
+    """Device-resident epoch loop: staged index + chunked lax.scan.
+
+    Uses a tiny synthetic dataset with one shared map; asserts losses
+    drop, validation is tracked per epoch, and checkpoints land.
+    """
+    from dyobav_tpu.models.data import DataHandler, Sample
+
+    class TinyDs:
+        obsv_len = 5
+
+        def __init__(self):
+            rng = np.random.default_rng(0)
+            self._map = rng.uniform(size=(64, 64)).astype(np.float32)
+            self.samples = []
+            for _ in range(96):
+                start = rng.uniform(10, 50, size=2)
+                traj = start + np.cumsum(rng.normal(0, 0.5, size=(5, 2)), 0)
+                off = int(rng.integers(1, 5))
+                self.samples.append(Sample(
+                    video="v0", traj=traj.astype(np.float32), offset=off,
+                    label=(traj[-1] + off * 0.5).astype(np.float32)))
+
+        def __len__(self):
+            return len(self.samples)
+
+        def ref_map(self, video):
+            return self._map
+
+        def image_shape(self):
+            return self._map.shape
+
+    ds = TinyDs()
+    cfg = small_config(learning_rate=1e-3)
+    mgr = NetworkManager(cfg, verbose=False)
+    mgr.build_network(input_shape=(1, 64, 64, 7))
+    dh = DataHandler(ds, batch_size=4, seed=0)
+    mgr.train_on_device(dh, batch_size=4, epochs=3, k_top_list=[20, 4, 1],
+                        chunk_steps=4, checkpoint_dir=str(tmp_path),
+                        val_batches=2)
+    assert mgr.complete
+    assert len(mgr.Val_loss) == 3
+    assert len(mgr.Loss) >= 3 * 4  # >= n_chunks per epoch
+    assert np.mean(mgr.Loss[-4:]) < np.mean(mgr.Loss[:4])
+    assert os.path.exists(tmp_path / "model_ckp_2")
+
+
 DATA_TRAIN = "/root/reference/data/WSD_1t20_train"
 
 
