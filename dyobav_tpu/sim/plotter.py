@@ -85,6 +85,30 @@ class Plotter:
         if pred_states is not None:
             ps = np.array(pred_states)
             self.map_ax.plot(ps[:, 0], ps[:, 1], "m.")
+
+        # Tracker-specific overlays (reference plot_references_mpc/_dwa,
+        # main_pre.py:128-143): MPC shows the resampled reference
+        # trajectory and the current N_hor reference window; DWA shows the
+        # sampled candidate trajectories with per-candidate costs.
+        if others:
+            if len(others) == 1:               # MPC: [current_refs]
+                ref_traj = getattr(tracker_interface, "ref_traj", None)
+                if ref_traj is not None and len(ref_traj):
+                    rt = np.array([s[:2] for s in ref_traj])
+                    self.map_ax.plot(rt[:, 0], rt[:, 1], "r--")
+                cur = np.asarray(others[0])
+                if cur.size:
+                    self.map_ax.plot(cur[:, 0], cur[:, 1], "gx")
+            elif len(others) == 3:             # DWA: [all, ok, ok_cost]
+                all_traj, ok_traj, ok_cost = others
+                for tr in all_traj:
+                    tr = np.asarray(tr)
+                    self.map_ax.plot(tr[:, 0], tr[:, 1], "c-", linewidth=1)
+                for tr, c in zip(ok_traj, ok_cost):
+                    tr = np.asarray(tr)
+                    self.map_ax.plot(tr[:, 0], tr[:, 1], "m-", linewidth=1)
+                    self.map_ax.text(tr[-1][0], tr[-1][1], f"{round(float(c), 2)}",
+                                     fontsize=8, color="m")
         plt.draw()
         plt.pause(0.01)
 

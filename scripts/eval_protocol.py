@@ -59,7 +59,8 @@ def main() -> int:
             base.run(tracker, predictor)
             summary = base.results_summary()
             summary.update(tracker=tracker, predictor=predictor, scenario=sc,
-                           runs=args.runs, wall_s=round(time.time() - t0, 1))
+                           runs=args.runs, wall_s=round(time.time() - t0, 1),
+                           platform=jax.default_backend())
             rows.append(summary)
             print(json.dumps(summary), flush=True)
 
