@@ -210,7 +210,8 @@ class NetworkManager:
         each epoch is: one on-device `jax.random.permutation`, then
         `lax.scan` chunks of `chunk_steps` optimizer steps per dispatch.
         Requires a single shared reference map (true for the warehouse
-        dataset); falls back is the host-paced `train` loop.
+        dataset); multi-map datasets automatically fall back to the
+        host-paced `train` loop.
 
         Epoch semantics match the reference recipe (network_manager.py:
         129-217): full pass over the train split per epoch, per-epoch k_top
@@ -223,8 +224,11 @@ class NetworkManager:
         videos = {s.video for s in ds.samples}
         maps = [ds.ref_map(v) for v in videos]
         if not all(np.array_equal(maps[0], m) for m in maps[1:]):
-            raise ValueError("train_on_device needs one shared map; "
-                             "use train() for multi-map datasets.")
+            print("train_on_device: dataset has multiple reference maps; "
+                  "falling back to the host-paced train loop.")
+            return self.train(data_handler, batch_size, epochs,
+                              k_top_list=k_top_list, relax=relax,
+                              checkpoint_dir=checkpoint_dir)
         ref_map = jnp.asarray(maps[0])
         k_top_list = k_top_list or losses.default_k_top_schedule(epochs, self.M)
         if len(k_top_list) != epochs:
@@ -239,12 +243,24 @@ class NetworkManager:
 
         trajs, offsets, labels = stage(data_handler.train_idx)
         n_train = len(data_handler.train_idx)
+        if n_train < batch_size:
+            raise ValueError(
+                f"train_on_device needs at least one full batch "
+                f"({n_train} train samples < batch_size {batch_size}).")
         n_val = min(len(data_handler.val_idx), val_batches * batch_size)
-        vtr, voff, vlab = stage(data_handler.val_idx[:n_val])
-        val_idx = jnp.arange((n_val // batch_size) * batch_size,
-                             dtype=jnp.int32).reshape(-1, batch_size)
+        # Validation (and early stopping) is skipped when the val split is
+        # smaller than one batch — a (0, batch_size) index would scan zero
+        # batches and yield NaN val losses every epoch (ADVICE r2).
+        has_val = n_val >= batch_size
+        if has_val:
+            vtr, voff, vlab = stage(data_handler.val_idx[:n_val])
+            val_idx = jnp.arange((n_val // batch_size) * batch_size,
+                                 dtype=jnp.int32).reshape(-1, batch_size)
 
         steps_per_epoch = n_train // batch_size
+        # Small datasets (quick --max-samples runs) get chunks the size of
+        # the epoch rather than a reshape crash (ADVICE r2).
+        chunk_steps = max(1, min(chunk_steps, steps_per_epoch))
         n_chunks = max(1, steps_per_epoch // chunk_steps)
         key = jax.random.PRNGKey(self.seed + 1)
         min_val, stall = np.inf, 0
@@ -272,8 +288,9 @@ class NetworkManager:
                     print(f"\rEpoch {ep + 1}/{epochs} k={k_top} "
                           f"chunk {ci + 1}/{n_chunks} "
                           f"loss={self.Loss[-1]:.4f}   ", end="", flush=True)
-            val = float(self._eval_chunk(self.state, vtr, voff, vlab,
-                                         val_idx, ref_map, k_top))
+            val = (float(self._eval_chunk(self.state, vtr, voff, vlab,
+                                          val_idx, ref_map, k_top))
+                   if has_val else float("nan"))
             self.Val_loss.append(val)
             if self.vb:
                 print(f"\rEpoch {ep + 1}/{epochs} k={k_top} done "
@@ -281,7 +298,7 @@ class NetworkManager:
                       flush=True)
             if checkpoint_dir:
                 self.save_checkpoint(checkpoint_dir, ep)
-            if self.config.early_stopping > 0:
+            if has_val and self.config.early_stopping > 0:
                 if val < min_val:
                     min_val, stall = val, 0
                 else:

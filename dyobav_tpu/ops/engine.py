@@ -28,6 +28,7 @@ class MpcSolve(NamedTuple):
     pred_states: jnp.ndarray    # (N_hor, ns) predicted states under u
     exit_ok: jnp.ndarray        # bool: converged within tolerances
     infeasibility: jnp.ndarray  # scalar constraint violation
+    residual: jnp.ndarray       # scalar stationarity residual (control units)
 
 
 class MpcSolverBundle(NamedTuple):
@@ -49,7 +50,36 @@ def build_mpc_solver(
 
     method: "newton" (default — dense-Hessian ALM, see `ops.newton`) or
             "panoc" (first-order, see `ops.panoc`).
+
+    Bundles are memoized on the full configuration: every tracker built for
+    the same (cfg, robot, solver) triple shares ONE set of jitted closures.
+    Without this, each evaluation episode's fresh tracker re-traced the
+    solver at its first step (~10 s re-trace + cache load), which is where
+    the round-2 eval table's 9-14 s solve_time_max came from — the
+    reference never pays this because its Rust solver is one process-wide
+    .so (trajectory_tracker.py:54-66).
     """
+    # Dataclass reprs enumerate every field deterministically; configs with
+    # list-valued fields (bad_exit_codes) are not hashable directly.
+    key = repr((cfg, robot, solver_cfg, dtype, method))
+    cached = _BUNDLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    bundle = _build_mpc_solver_uncached(cfg, robot, solver_cfg, dtype, method)
+    _BUNDLE_CACHE[key] = bundle
+    return bundle
+
+
+_BUNDLE_CACHE: dict = {}
+
+
+def _build_mpc_solver_uncached(
+    cfg: MpcConfiguration,
+    robot: CircularRobotSpecification,
+    solver_cfg: SolverConfiguration | None = None,
+    dtype=jnp.float32,
+    method: str = "newton",
+) -> MpcSolverBundle:
     scfg = solver_cfg or SolverConfiguration()
     if scfg.dtype is not None:
         dtype = scfg.dtype
@@ -75,6 +105,7 @@ def build_mpc_solver(
         return MpcSolve(
             u=res.u, cost=res.cost, pred_states=br.states,
             exit_ok=res.converged, infeasibility=res.infeasibility,
+            residual=res.residual,
         )
 
     solve = jax.jit(_solve_one)

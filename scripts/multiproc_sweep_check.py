@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Multi-process `jax.distributed` execution evidence (VERDICT r2 item 6).
+
+The hardware here is one host, so the multi-host sweep path
+(`sweep --distributed` → `parallel.mesh.make_global_batch` + in-graph
+collective reductions) can only be exercised the way JAX itself tests
+multi-host code: N real OS processes on localhost, a distributed coordinator
+on a local port, and `--xla_force_host_platform_device_count` CPU devices
+per process.  This script runs the SAME sweep twice —
+
+  1. one process, 8 virtual devices (the in-suite configuration), and
+  2. two processes × 4 virtual devices each, coordinator on localhost,
+     global batch assembled via `make_global_batch` from per-host shards
+     and statistics reduced in-graph across processes —
+
+and asserts the published statistics are identical.  Success/collision/step
+counts must match exactly; the clearance mean (different reduction order)
+to 1e-5.
+
+Usage:  python scripts/multiproc_sweep_check.py [--n 8] [--steps 20]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PORT = int(os.environ.get("MULTIPROC_CHECK_PORT", "45677"))
+
+
+def child_main() -> int:
+    """Entry for the spawned processes (parent sets the env contract)."""
+    n_local = int(os.environ["CHECK_LOCAL_DEVICES"])
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_local}"
+    ).strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+
+    num_procs = int(os.environ["CHECK_NUM_PROCESSES"])
+    if num_procs > 1:
+        # Explicit localhost bootstrap: production gets these from the TPU
+        # pod metadata; a single-host container must pass them by hand.
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{PORT}",
+            num_processes=num_procs,
+            process_id=int(os.environ["CHECK_PROCESS_ID"]),
+        )
+        assert jax.process_count() == num_procs, jax.process_count()
+
+    from dyobav_tpu.sim.sweep import main as sweep_main
+    argv = ["--n", os.environ["CHECK_N"], "--steps", os.environ["CHECK_STEPS"],
+            "--seed", "0", "--inner-iters", "6", "--outer-iters", "2"]
+    if num_procs > 1:
+        argv.append("--distributed")
+    return sweep_main(argv)
+
+
+def run_case(num_procs: int, n: int, steps: int) -> dict:
+    env = dict(os.environ,
+               CHECK_CHILD="1",
+               CHECK_NUM_PROCESSES=str(num_procs),
+               CHECK_LOCAL_DEVICES=str(8 // num_procs),
+               CHECK_N=str(n), CHECK_STEPS=str(steps),
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    procs = []
+    for pid in range(num_procs):
+        e = dict(env, CHECK_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env=e, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=3600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        if p.returncode != 0:
+            sys.stderr.write(se[-4000:])
+            raise RuntimeError(f"process exited {p.returncode}")
+    # Only process 0 prints the JSON line.
+    line = [ln for ln in outs[0][0].splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=20)
+    args = ap.parse_args()
+
+    single = run_case(1, args.n, args.steps)
+    print("1-process :", json.dumps(single), flush=True)
+    multi = run_case(2, args.n, args.steps)
+    print("2-process :", json.dumps(multi), flush=True)
+
+    assert multi["hosts"] == 2, multi
+    for key in ("success_rate", "collision_rate", "steps_used_mean"):
+        assert single[key] == multi[key], (key, single[key], multi[key])
+    a, b = single["min_clearance_mean"], multi["min_clearance_mean"]
+    assert (a is None) == (b is None)
+    if a is not None:
+        assert abs(a - b) <= 1e-5 * max(1.0, abs(a)), (a, b)
+    print("MULTIPROC SWEEP PARITY OK: 2-process == 1-process statistics "
+          f"(n={args.n}, steps={args.steps})")
+    return 0
+
+
+if __name__ == "__main__":
+    if os.environ.get("CHECK_CHILD") == "1" and "CHECK_PROCESS_ID" in os.environ:
+        raise SystemExit(child_main())
+    raise SystemExit(main())

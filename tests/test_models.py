@@ -214,6 +214,49 @@ def test_manager_train_on_device(tmp_path):
     assert os.path.exists(tmp_path / "model_ckp_2")
 
 
+def test_manager_train_on_device_small_dataset():
+    """ADVICE r2 regressions: an epoch smaller than `chunk_steps` must clamp
+    the chunk size (not crash on the permutation reshape), and a validation
+    split smaller than one batch must skip validation (not NaN the early
+    stopping)."""
+    from dyobav_tpu.models.data import DataHandler, Sample
+
+    class TinyDs:
+        obsv_len = 5
+
+        def __init__(self, n):
+            rng = np.random.default_rng(1)
+            self._map = rng.uniform(size=(64, 64)).astype(np.float32)
+            self.samples = [
+                Sample(video="v0",
+                       traj=rng.uniform(10, 50, size=(5, 2)).astype(np.float32),
+                       offset=int(rng.integers(1, 5)),
+                       label=rng.uniform(10, 50, size=2).astype(np.float32))
+                for _ in range(n)
+            ]
+
+        def __len__(self):
+            return len(self.samples)
+
+        def ref_map(self, video):
+            return self._map
+
+        def image_shape(self):
+            return self._map.shape
+
+    # 40 samples, val_fraction 0.1 -> 4 val samples < batch_size 8, and
+    # steps_per_epoch = 36 // 8 = 4 < chunk_steps 512.
+    ds = TinyDs(40)
+    cfg = small_config(learning_rate=1e-3, early_stopping=2)
+    mgr = NetworkManager(cfg, verbose=False)
+    mgr.build_network(input_shape=(1, 64, 64, 7))
+    dh = DataHandler(ds, batch_size=8, val_fraction=0.1, seed=0)
+    mgr.train_on_device(dh, batch_size=8, epochs=2, k_top_list=[20, 4],
+                        chunk_steps=512)
+    assert mgr.complete          # early stopping must not fire on NaN val
+    assert len(mgr.Loss) >= 2    # one chunk per epoch ran
+
+
 DATA_TRAIN = "/root/reference/data/WSD_1t20_train"
 
 
