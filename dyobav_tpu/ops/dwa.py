@@ -132,23 +132,16 @@ def build_dwa_engine(cfg: DwaConfiguration, robot: CircularRobotSpecification,
 
         return jnp.where(hard_hit, jnp.inf, cost)
 
-    def step_fn(state, last_u, goal, ref_path, base_speed, static_obs,
+    def step_fn(state, u_all, valid, goal, ref_path, base_speed, static_obs,
                 dyn_obs_steps) -> DwaResult:
-        # Dynamic window (:94-108).
-        v_lo = jnp.maximum(robot.lin_vel_min, last_u[0] - robot.lin_acc_max * ts)
-        v_hi = jnp.minimum(robot.lin_vel_max, last_u[0] + robot.lin_acc_max * ts)
-        w_lo = jnp.maximum(-robot.ang_vel_max, last_u[1] - robot.ang_acc_max * ts)
-        w_hi = jnp.minimum(robot.ang_vel_max, last_u[1] + robot.ang_acc_max * ts)
-
-        v_cand = v_lo + jnp.arange(spec.n_v) * cfg.vel_resolution
-        w_cand = w_lo + jnp.arange(spec.n_w) * cfg.ang_resolution
-        v_valid = v_cand < v_hi                              # arange excludes end
-        w_valid = w_cand < w_hi
-
-        vv, ww = jnp.meshgrid(v_cand, w_cand, indexing="ij")
-        valid = (v_valid[:, None] & w_valid[None, :]).reshape(-1)
-        u_all = jnp.stack([vv.reshape(-1), ww.reshape(-1)], axis=1)
-
+        # The candidate grid is built HOST-side in float64 with numpy-arange
+        # semantics (see `candidate_grid`) because the reference's window
+        # membership is knife-edge: the acceleration window is exactly
+        # 2*acc*ts/resolution grid steps wide, so whether `np.arange`
+        # includes the top candidate depends on float noise in last_u —
+        # an in-graph float32 grid made the opposite call on ~15% of steps
+        # (scripts/reference_parity.py lockstep study: du_max exactly one
+        # resolution notch).  Passing the grid in keeps membership exact.
         trajs = jax.vmap(lambda u: rollout(state, u))(u_all)
         costs = jax.vmap(lambda tr, u: candidate_cost(
             tr, u, goal, ref_path, base_speed, static_obs, dyn_obs_steps)
@@ -166,3 +159,30 @@ def build_dwa_engine(cfg: DwaConfiguration, robot: CircularRobotSpecification,
         )
 
     return jax.jit(step_fn), spec
+
+
+def candidate_grid(cfg: DwaConfiguration, robot: CircularRobotSpecification,
+                   spec: DwaGridSpec, last_u: "np.ndarray"):
+    """(u_all (n_v*n_w, 2), valid (n_v*n_w,)) — float64 host-side grid with
+    the reference's exact `np.arange` semantics
+    (trajectory_tracker.py:94-108 window + :131-132 loops)."""
+    import numpy as np
+    ts = cfg.ts
+    v_lo = max(robot.lin_vel_min, float(last_u[0]) - robot.lin_acc_max * ts)
+    v_hi = min(robot.lin_vel_max, float(last_u[0]) + robot.lin_acc_max * ts)
+    w_lo = max(-robot.ang_vel_max, float(last_u[1]) - robot.ang_acc_max * ts)
+    w_hi = min(robot.ang_vel_max, float(last_u[1]) + robot.ang_acc_max * ts)
+    v = np.arange(v_lo, v_hi, cfg.vel_resolution)
+    w = np.arange(w_lo, w_hi, cfg.ang_resolution)
+    if len(v) > spec.n_v or len(w) > spec.n_w:
+        raise ValueError(f"grid spec too small: ({len(v)},{len(w)}) vs {spec}")
+    v_pad = np.full(spec.n_v, v[0] if len(v) else 0.0)
+    w_pad = np.full(spec.n_w, w[0] if len(w) else 0.0)
+    v_pad[:len(v)] = v
+    w_pad[:len(w)] = w
+    v_ok = np.arange(spec.n_v) < len(v)
+    w_ok = np.arange(spec.n_w) < len(w)
+    vv, ww = np.meshgrid(v_pad, w_pad, indexing="ij")
+    u_all = np.stack([vv.reshape(-1), ww.reshape(-1)], axis=1)
+    valid = (v_ok[:, None] & w_ok[None, :]).reshape(-1)
+    return u_all.astype(np.float32), valid

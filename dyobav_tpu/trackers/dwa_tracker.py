@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs import CircularRobotSpecification, DwaConfiguration
-from ..ops.dwa import FAR, build_dwa_engine
+from ..ops.dwa import FAR, build_dwa_engine, candidate_grid
 from .mpc_tracker import TrajectoryTracker as _MpcTracker
 
 
@@ -128,9 +128,12 @@ class TrajectoryTracker:
         ref = np.asarray(ref_path, dtype=np.float32)[:, :2]
 
         start = timeit.default_timer()
+        u_all, valid_mask = candidate_grid(self.config, self.robot_spec,
+                                           self.grid, np.asarray(last_u))
         res = self.engine(
             jnp.asarray(self.state, jnp.float32),
-            jnp.asarray(last_u, jnp.float32),
+            jnp.asarray(u_all),
+            jnp.asarray(valid_mask),
             jnp.asarray(self.final_goal[:2], jnp.float32),
             jnp.asarray(ref),
             jnp.asarray(self.base_speed, jnp.float32),
