@@ -202,12 +202,27 @@ class SolverConfiguration:
     Fixed iteration caps keep the compiled program static-shaped so the whole
     solve vmaps/shards cleanly over scenario batches; converged lanes are
     masked out rather than exiting early.
+
+    DEFAULTS = the PRODUCTION OPERATING POINT (round 3): the chord profile
+    (3+2 iterations x 3 Newton updates per exact Hessian) with the penalty
+    pre-escalated to 1250 (= 10 * 5^3, where the full ALM ramp ends up),
+    tile-parallel Pallas Cholesky linear solves, and deep cold-start
+    escalation.  This is the exact configuration the headline bench times
+    (bench.py 'default' reads these fields) and the parity tables certify
+    (docs/parity_r3*.json) — `sim eval`, the sweep, and the tracker all
+    run what the bench advertises.  The warm profile is sized for
+    receding-horizon solves (shifted warm start each step); the one cold
+    solve per episode runs `cold_profile` with the OpEn from-10 penalty
+    ramp instead, and the tracker escalates distressed multistart steps to
+    the same budget (trackers/mpc_tracker.py).  For OpEn-default semantics
+    on every solve (reference-style, much slower), use
+    `strong_configuration()`.
     """
 
-    max_inner_iters: int = 30       # inner iterations in the first ALM stage
-    max_outer_iters: int = 10       # ALM / penalty update stages (OpEn default)
-    inner_iters_later: int = 10     # inner iterations per warm-started stage
-    initial_penalty: float = 10.0   # matches OpEn with_initial_penalty(10)
+    max_inner_iters: int = 3        # inner iterations in the first ALM stage
+    max_outer_iters: int = 2        # ALM / penalty update stages
+    inner_iters_later: int = 2      # inner iterations per warm-started stage
+    initial_penalty: float = 1250.0  # pre-escalated for warm solves (see above)
     penalty_update_factor: float = 5.0
     tol: float = 1e-4               # fixed-point-residual tolerance (inner)
     constraint_tol: float = 1e-3    # ALM infeasibility tolerance
@@ -220,27 +235,51 @@ class SolverConfiguration:
     fused: bool = True              # single-scan ALM (masked stage updates;
                                     # ~4x faster compiles, identical controls)
                                     # vs Python-unrolled outer stages
-    linear_solver: str = "cholesky"  # "cholesky" (XLA custom call; exact,
-                                    # but serialized per matrix on TPU) or
-                                    # "schulz" (Newton–Schulz inverse via
-                                    # batched matmuls; MXU-native — measured
-                                    # to remove ~85% of TPU solve time, see
-                                    # ops/newton.schulz_spd_solve)
+    linear_solver: str = "pallas"   # "pallas": tile-parallel batched
+                                    # Cholesky kernel (ops/pallas_spd.py) —
+                                    # measured 14.3x faster than XLA's
+                                    # per-matrix-serialized Cholesky custom
+                                    # call at (4096, 40, 40) with equal f32
+                                    # residuals (scripts/check_pallas_spd.py
+                                    # on a v5e chip); falls back to XLA
+                                    # batched LU on non-TPU backends.
+                                    # "schulz": Newton-Schulz inverse via
+                                    # batched matmuls (MXU-native, inexact
+                                    # at float32 for ill-conditioned rungs).
+                                    # "cholesky": XLA custom call (exact,
+                                    # serialized per matrix on TPU).
     schulz_iters: int = 14          # Newton–Schulz iterations (error squares
                                     # each iteration from the Gershgorin
                                     # starting point)
-    cold_profile: Any = None        # optional (inner, outer, later, substeps)
-                                    # used for the FIRST solve of an episode
-                                    # (no warm start).  Lean iteration
-                                    # profiles are sized for warm-started
-                                    # receding-horizon solves and can leave
-                                    # cold starts infeasible; escalating the
-                                    # one cold solve per episode costs ~one
-                                    # extra compile and nothing per step.
-    newton_substeps: int = 1        # Newton updates per Hessian refresh
+    cold_profile: Any = (12, 6, 5, 1, 10.0)
+                                    # (inner, outer, later, substeps[,
+                                    # penalty]) used for the FIRST solve of
+                                    # an episode (no warm start).  Lean
+                                    # iteration profiles are sized for
+                                    # warm-started receding-horizon solves
+                                    # and can leave cold starts infeasible;
+                                    # escalating the one cold solve per
+                                    # episode costs ~one extra compile and
+                                    # nothing per step.  Measured: 97% cold
+                                    # convergence at 3,608 solves/s
+                                    # (BENCH_CUSTOM=12,6,5,1,10
+                                    # BENCH_WARM_STEPS=0).
+    newton_substeps: int = 3        # Newton updates per Hessian refresh
                                     # (chord method): the exact Hessian is
                                     # ~90% of per-iteration compute, so K>1
                                     # trades slightly staler curvature for
                                     # nearly K-fold cheaper updates.  Each
                                     # configured "iteration" performs K
                                     # damped updates sharing one Hessian.
+
+
+def strong_configuration(**overrides) -> SolverConfiguration:
+    """OpEn-default solve semantics on EVERY solve: full iteration budget,
+    from-10 penalty escalation, no chord substeps — the reference-style
+    configuration (`mpc_builder.py:187-195` with_initial_penalty(10) and
+    OpEn's default outer-iteration cap).  ~7x slower than the production
+    default; use for fidelity studies and as the escalation ceiling."""
+    base = dict(max_inner_iters=30, max_outer_iters=10, inner_iters_later=10,
+                initial_penalty=10.0, newton_substeps=1, cold_profile=None)
+    base.update(overrides)
+    return SolverConfiguration(**base)

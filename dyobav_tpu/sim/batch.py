@@ -189,6 +189,31 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
         res = make_alm_newton_solver(obj, u_lo, u_hi, c_lo, c_hi, scfg)(u0)
         return res.u
 
+    # Cold-start escalation (mirrors the tracker's cold_bundle,
+    # trackers/mpc_tracker.py): the production warm profile is sized for
+    # shifted warm starts, which the FIRST solve of an episode does not
+    # have.  When cold_profile is set, the step-0 problem is pre-solved
+    # once with the escalated budget and its solution seeds the scan's
+    # warm-start carry — the in-scan step-0 solve then just refines it.
+    cold_solve_one = None
+    if scfg.cold_profile:
+        import dataclasses
+        prof = tuple(scfg.cold_profile)
+        ci, co, cl, cs = prof[:4]
+        pen = prof[4] if len(prof) > 4 else 10.0
+        cold_cfg = dataclasses.replace(
+            scfg, max_inner_iters=ci, max_outer_iters=co,
+            inner_iters_later=cl, newton_substeps=cs, initial_penalty=pen,
+            cold_profile=None)
+
+        def cold_solve_one(p: MpcParams, u0: jnp.ndarray):
+            def obj(u_flat):
+                br = costs.evaluate(u_flat, p, cfg, robot_cfg)
+                return br.objective, br.f1, br.f2
+            res = make_alm_newton_solver(obj, u_lo, u_hi, c_lo, c_hi,
+                                         cold_cfg)(u0)
+            return res.u
+
     def ref_window(ref_traj, ref_len, ref_idx, state):
         return ref_window_select(ref_traj, ref_len, ref_idx, state, N)
 
@@ -273,6 +298,13 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
             min_clearance=jnp.array(jnp.inf, dtype),
             rng=jax.random.PRNGKey(seed),
         )
+
+        if cold_solve_one is not None:
+            window0, _ = ref_window(sc.ref_traj, sc.ref_len, st.ref_idx,
+                                    st.robot)
+            p0 = assemble_params(sc, st, window0,
+                                 predict_fn(st.human_hist))
+            st = st._replace(u_warm=cold_solve_one(p0, st.u_warm))
 
         def body(st, k):
             st2 = scenario_step(sc, st)

@@ -125,6 +125,27 @@ def build_fleet_sim(cfg: MpcConfiguration,
         res = make_alm_newton_solver(obj, u_lo, u_hi, c_lo, c_hi, scfg)(u0)
         return res.u
 
+    # Cold-start escalation for the episode's first solve (same rationale
+    # as sim/batch.py: the warm profile assumes a shifted warm start).
+    cold_solve_one = None
+    if scfg.cold_profile:
+        import dataclasses
+        prof = tuple(scfg.cold_profile)
+        ci, co, cl, cs = prof[:4]
+        pen = prof[4] if len(prof) > 4 else 10.0
+        cold_cfg = dataclasses.replace(
+            scfg, max_inner_iters=ci, max_outer_iters=co,
+            inner_iters_later=cl, newton_substeps=cs, initial_penalty=pen,
+            cold_profile=None)
+
+        def cold_solve_one(p: MpcParams, u0: jnp.ndarray):
+            def obj(u_flat):
+                br = costs.evaluate(u_flat, p, cfg, robot_cfg)
+                return br.objective, br.f1, br.f2
+            res = make_alm_newton_solver(obj, u_lo, u_hi, c_lo, c_hi,
+                                         cold_cfg)(u0)
+            return res.u
+
     predict_fn = (predictor if predictor is not None
                   else lambda hist: cv_predict_horizon(hist, N))
 
@@ -242,6 +263,20 @@ def build_fleet_sim(cfg: MpcConfiguration,
                                         (5, H, 2)),
             rng=jax.random.PRNGKey(seed),
         )
+
+        if cold_solve_one is not None:
+            windows0, _ = jax.vmap(
+                lambda traj, length, idx, state: ref_window_select(
+                    traj, length, idx, state, N)
+            )(sc.ref_trajs, sc.ref_lens, st.ref_idx, st.robots)
+            dyn0 = assemble_dyn_obstacles(st.humans,
+                                          predict_fn(st.human_hist),
+                                          cfg.Ndynobs, cfg.ndynobs, N, dtype)
+            params0 = jax.vmap(
+                lambda i, w: assemble_one(sc, st, i, w, dyn0)
+            )(jnp.arange(R), windows0)
+            st = st._replace(u_warm=jax.vmap(cold_solve_one)(params0,
+                                                             st.u_warm))
 
         def body(st, _):
             st2 = fleet_step(sc, st)

@@ -112,6 +112,7 @@ class MainBase:
         self.clearance_dyn_results: List[float] = []
         self.deviation_results: List[list] = []
         self.solve_time_list: List[float] = []
+        self.solver_status_list: List[str] = []
 
     def _load_map(self):
         mi = MapInterface(self.data_dir)
@@ -338,6 +339,13 @@ class MainBase:
         if self.eval and not complete and not collision:
             self.collision_results.append(True)     # timeout counts as failure
 
+        if self.eval:
+            # Per-step solver exit statuses (MPC tracker only) — surfaces
+            # the PRODUCTION convergence rate (multistart + distress
+            # escalation) alongside the eval metrics.
+            self.solver_status_list += getattr(
+                tracker_interface.traj_tracker, "solver_status_timelist", [])
+
         if self.eval and not self.collision_results[-1]:
             self.smoothness_results.append(metrics.calc_action_smoothness(
                 tracker_interface.traj_tracker.past_actions))
@@ -372,6 +380,9 @@ class MainBase:
         out = {
             "solve_time_mean_s": float(np.mean(solve)),
             "solve_time_max_s": float(np.max(solve)),
+            **({"converged_rate": float(np.mean(
+                [s == "Converged" for s in self.solver_status_list]))}
+               if self.solver_status_list else {}),
             "success_rate": float(
                 (len(self.collision_results) - sum(self.collision_results))
                 / len(self.collision_results)),

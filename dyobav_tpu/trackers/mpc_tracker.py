@@ -282,22 +282,47 @@ class TrajectoryTracker:
 
         t0 = timeit.default_timer()
         bundle = self.bundle if self._last_u is not None else self.cold_bundle
+        scfg = self.solver_config
+        infeas_bar = scfg.multistart_infeas_factor * scfg.constraint_tol
         if self.use_multistart:
             guesses = self._initial_guesses(last_u)
             zb = jnp.broadcast_to(z, (guesses.shape[0], z.shape[0]))
             sols = bundle.solve_batch(zb, jnp.asarray(guesses))
-            # Rank by (feasibility first, then cost).
-            scfg = self.solver_config
-            score = np.asarray(sols.cost) + 1e6 * (
-                np.asarray(sols.infeasibility)
-                > scfg.multistart_infeas_factor * scfg.constraint_tol)
+            # Distress escalation: the warm production profile is sized for
+            # receding-horizon steps whose basin did NOT move.  When the
+            # NLP landscape shifts (an obstacle prediction newly blocks the
+            # warm basin), the warm candidate goes infeasible or loses the
+            # ranking — and a warm-budget solve from ANY guess can stall in
+            # a poor basin.  Measured (scripts/diagnose_hops.py): on every
+            # parity basin-hop step, re-solving the same candidates with
+            # the deep cold-start budget reaches the independent float64
+            # optimum (cost 83.1 -> 54.3 on the worst step).  Escalation
+            # triggers on distress only, so steady-state steps stay at one
+            # warm batch solve.
+            infeas = np.asarray(sols.infeasibility)
+            score = np.asarray(sols.cost) + 1e6 * (infeas > infeas_bar)
             best = int(np.argmin(score))
+            # ANY infeasible candidate signals a shifted landscape (a
+            # newly-active obstacle constraint): the measured hop steps all
+            # show it (diagnose_hops: candidate infeasibilities 0.03-1.5 on
+            # hop steps vs all-feasible on steady steps), including the one
+            # where the feasible warm winner was itself under-refined.
+            distress = (best != 0) or bool(np.max(infeas) > infeas_bar) or \
+                not bool(sols.exit_ok[best])
+            if distress and self.cold_bundle is not bundle:
+                sols = self.cold_bundle.solve_batch(zb, jnp.asarray(guesses))
+                infeas = np.asarray(sols.infeasibility)
+                score = np.asarray(sols.cost) + 1e6 * (infeas > infeas_bar)
+                best = int(np.argmin(score))
             u_flat = np.asarray(sols.u[best])
             cost = float(sols.cost[best])
             pred_states_arr = np.asarray(sols.pred_states[best])
             exit_ok = bool(sols.exit_ok[best])
         else:
             sol = bundle.solve(z, jnp.asarray(self._initial_guesses(last_u)[0]))
+            if not bool(sol.exit_ok) and self.cold_bundle is not bundle:
+                sol = self.cold_bundle.solve(
+                    z, jnp.asarray(self._initial_guesses(last_u)[0]))
             u_flat = np.asarray(sol.u)
             cost = float(sol.cost)
             pred_states_arr = np.asarray(sol.pred_states)

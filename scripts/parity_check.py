@@ -40,14 +40,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # (inner, outer, later, substeps, initial_penalty) — see bench.py for why
 # the chord (warm receding-horizon) profiles pre-escalate the penalty.
 PROFILES = {
-    "strong": (30, 10, 10, 1, 10.0),   # SolverConfiguration() defaults
+    "strong": (30, 10, 10, 1, 10.0),   # strong_configuration() (OpEn-default budget)
     "full": (12, 4, 5, 1, 10.0),
     "deep": (12, 6, 5, 1, 10.0),       # full + more escalation stages
     "lean": (6, 3, 3, 1, 10.0),
-    "default": (3, 2, 2, 2, 1250.0),   # chord: 2 updates per Hessian
     "chord": (3, 2, 2, 2, 1250.0),
     "chord3": (2, 2, 2, 3, 1250.0),
 }
+
+
+def _default_profile():
+    from dyobav_tpu.configs import SolverConfiguration
+    d = SolverConfiguration()
+    return (d.max_inner_iters, d.max_outer_iters, d.inner_iters_later,
+            d.newton_substeps, d.initial_penalty)
+
+
+class _Profiles(dict):
+    """PROFILES with 'default' resolved from SolverConfiguration() at use
+    time, so the parity table can never drift from the shipped default."""
+
+    def __getitem__(self, key):
+        if key == "default":
+            return _default_profile()
+        return super().__getitem__(key)
+
+
+PROFILES = _Profiles(PROFILES)
 
 
 def run_profile_scenario(profile: str, scenario_index: int, steps: int,
@@ -253,7 +272,7 @@ def main() -> int:
                     help="cold SLSQP multi-starts per step")
     ap.add_argument("--platform", default="cpu")
     ap.add_argument("--linear-solver", default="cholesky",
-                    choices=["cholesky", "schulz"])
+                    choices=["cholesky", "schulz", "pallas"])
     ap.add_argument("--json-out", default="")
     args = ap.parse_args()
 

@@ -94,11 +94,16 @@ def test_chord_substeps_reach_same_solution():
     equivalent update budget — only convergence *rate* per Hessian differs.
     The exact Hessian is ~90% of per-iteration compute, so this is the
     throughput lever; here we pin its numerics."""
+    # Explicit OpEn from-10 escalation: these are COLD problems, where the
+    # production default's pre-escalated warm penalty (1250) with few outer
+    # stages is the wrong semantics (cold solves take cold_profile in
+    # production).
     full = build_mpc_solver(CFG, ROBOT, SolverConfiguration(
-        max_inner_iters=8, max_outer_iters=3, inner_iters_later=4))
+        max_inner_iters=8, max_outer_iters=3, inner_iters_later=4,
+        initial_penalty=10.0, newton_substeps=1, cold_profile=None))
     chord = build_mpc_solver(CFG, ROBOT, SolverConfiguration(
         max_inner_iters=4, max_outer_iters=3, inner_iters_later=2,
-        newton_substeps=2))
+        initial_penalty=10.0, newton_substeps=2, cold_profile=None))
     u0 = jnp.tile(jnp.array([1.2, 0.0], jnp.float32), CFG.N_hor)
     for seed in range(3):
         z = _problem(seed)

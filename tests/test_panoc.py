@@ -12,7 +12,8 @@ import pytest
 from scipy.optimize import minimize
 
 from dyobav_tpu.configs import (CircularRobotSpecification, MpcConfiguration,
-                                SolverConfiguration)
+                                SolverConfiguration,
+                                strong_configuration)
 from dyobav_tpu.ops import costs
 from dyobav_tpu.ops.engine import build_mpc_solver
 from dyobav_tpu.ops.panoc import make_panoc_solver
@@ -20,7 +21,10 @@ from dyobav_tpu.ops.params import empty_params, pack, tuning_vector
 
 CFG = MpcConfiguration()
 ROBOT = CircularRobotSpecification()
-SCFG = SolverConfiguration()
+# These tests certify solver semantics against cold problems, so they run
+# the full-budget (OpEn-default) configuration, not the warm-sized
+# production default.
+SCFG = strong_configuration()
 
 _BUNDLE = None
 
@@ -30,7 +34,7 @@ def shared_bundle():
     Hessian-based solve take ~90 s; sharing keeps the suite tractable)."""
     global _BUNDLE
     if _BUNDLE is None:
-        _BUNDLE = build_mpc_solver(CFG, ROBOT)
+        _BUNDLE = build_mpc_solver(CFG, ROBOT, SCFG)
     return _BUNDLE
 
 
@@ -197,7 +201,7 @@ def test_panoc_solves_production_nlp():
     from tests.test_newton_fused import CFG, ROBOT, _problem
 
     u0 = jnp.tile(jnp.array([1.2, 0.0], jnp.float32), CFG.N_hor)
-    newton = build_mpc_solver(CFG, ROBOT, SolverConfiguration())
+    newton = build_mpc_solver(CFG, ROBOT, strong_configuration())
     panoc = build_mpc_solver(
         CFG, ROBOT,
         SolverConfiguration(max_inner_iters=300, max_outer_iters=10,
