@@ -28,7 +28,8 @@ def main(argv=None) -> int:
     ap.add_argument("--distributed", action="store_true",
                     help="multi-host: jax.distributed over ICI/DCN; run one "
                          "process per host (degenerate no-op on one host)")
-    ap.add_argument("--inner-iters", type=int, default=10)
+    ap.add_argument("--inner-iters", type=int, default=0,
+                    help="0 = the production SolverConfiguration() profile")
     ap.add_argument("--outer-iters", type=int, default=3)
     args = ap.parse_args(argv)
 
@@ -70,9 +71,15 @@ def main(argv=None) -> int:
         padded = shard_batch(
             mesh, cls(*[jnp.asarray(x) for x in padded]))
 
-    scfg = SolverConfiguration(max_inner_iters=args.inner_iters,
-                               max_outer_iters=args.outer_iters,
-                               inner_iters_later=max(args.inner_iters // 2, 3))
+    # Default: the shipped production operating point (one configuration
+    # everywhere); explicit --inner-iters opts into a custom budget.
+    if args.inner_iters:
+        scfg = SolverConfiguration(
+            max_inner_iters=args.inner_iters,
+            max_outer_iters=args.outer_iters,
+            inner_iters_later=max(args.inner_iters // 2, 3))
+    else:
+        scfg = SolverConfiguration()
     if fleet:
         run = build_fleet_sim(base.config_mpc, base.config_robot, scfg,
                               n_robots=args.robots, n_steps=args.steps)
