@@ -44,6 +44,32 @@ def omnidirectional_step(state: jnp.ndarray, action: jnp.ndarray, ts: float) -> 
     return state + ts * action
 
 
+def unicycle_step_np(state, action, ts: float, rk4: bool = True):
+    """Numpy twin of `unicycle_step` for HOST-side callers (sim agents,
+    trackers stepping one 3-element state).  A jnp call here would
+    dispatch a device program per agent per step — over the remote-TPU
+    tunnel that is a full RPC round trip for 12 bytes of math, which
+    dominated the per-step eval latency."""
+    import numpy as np
+
+    def d(s):
+        return ts * np.array([action[0] * np.cos(s[2]),
+                              action[0] * np.sin(s[2]), action[1]])
+
+    if rk4:
+        k1 = d(state)
+        k2 = d(state + 0.5 * k1)
+        k3 = d(state + 0.5 * k2)
+        k4 = d(state + k3)
+        return state + (k1 + 2.0 * k2 + 2.0 * k3 + k4) / 6.0
+    return state + d(state)
+
+
+def omnidirectional_step_np(state, action, ts: float):
+    """Numpy twin of `omnidirectional_step` (host-side agents)."""
+    return state + ts * action
+
+
 class MotionModel:
     """Thin callable wrapper carrying (state_dim, action_dim, ts).
 
@@ -51,14 +77,24 @@ class MotionModel:
     (motion_model.py:32-68) for the tracker/agent protocol.
     """
 
-    def __init__(self, fn: Callable, state_dim: int, action_dim: int, ts: float):
+    def __init__(self, fn: Callable, state_dim: int, action_dim: int, ts: float,
+                 np_fn: Callable | None = None):
         self.fn = fn
+        self.np_fn = np_fn
         self.state_dim = state_dim
         self.action_dim = action_dim
         self.ts = ts
 
     def __call__(self, state, action, ts: float | None = None):
-        return self.fn(jnp.asarray(state), jnp.asarray(action), self.ts if ts is None else ts)
+        ts = self.ts if ts is None else ts
+        # Host-side callers (sim agents stepping one 3-element state) take
+        # the numpy twin — a device dispatch per agent per step is a full
+        # RPC round trip on a remote-TPU backend.
+        if self.np_fn is not None and not isinstance(state, jnp.ndarray):
+            import numpy as np
+            return self.np_fn(np.asarray(state, np.float64),
+                              np.asarray(action, np.float64), ts)
+        return self.fn(jnp.asarray(state), jnp.asarray(action), ts)
 
     def zero_state(self):
         return jnp.zeros(self.state_dim)
@@ -70,13 +106,15 @@ class MotionModel:
 class UnicycleModel(MotionModel):
     def __init__(self, ts: float, rk4: bool = True):
         super().__init__(
-            lambda s, a, t: unicycle_step(s, a, t, rk4=rk4), 3, 2, ts
+            lambda s, a, t: unicycle_step(s, a, t, rk4=rk4), 3, 2, ts,
+            np_fn=lambda s, a, t: unicycle_step_np(s, a, t, rk4=rk4),
         )
 
 
 class OmnidirectionalModel(MotionModel):
     def __init__(self, ts: float):
-        super().__init__(omnidirectional_step, 3, 3, ts)
+        super().__init__(omnidirectional_step, 3, 3, ts,
+                         np_fn=omnidirectional_step_np)
 
 
 def reciprocating_state(kt, speed: float, ts: float, p1, p2):

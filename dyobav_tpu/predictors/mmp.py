@@ -97,6 +97,8 @@ class MmpInterface:
                 self.network_manager.load_checkpoint(checkpoint_path)
         self._snapper: ObstacleSnapper | None = None
         self._snapper_src: np.ndarray | None = None
+        self._dev_map = None          # device-resident ref_map cache
+        self._dev_map_src: np.ndarray | None = None
 
     def _get_snapper(self, ref_image: np.ndarray) -> ObstacleSnapper:
         # Cache keyed on object identity, holding a strong reference to the
@@ -118,8 +120,12 @@ class MmpInterface:
         traj = np.asarray(pad_traj(traj, self.config.obsv_len), np.float32)
 
         offsets = jnp.arange(1, pred_offset + 1, dtype=jnp.float32)
-        stack = traj_to_input_stack(jnp.asarray(traj),
-                                    jnp.asarray(ref_image, jnp.float32),
+        # Upload the (H, W) map once per map, not per step (identity-keyed
+        # like the snapper cache).
+        if self._dev_map is None or self._dev_map_src is not ref_image:
+            self._dev_map = jnp.asarray(ref_image, jnp.float32)
+            self._dev_map_src = ref_image
+        stack = traj_to_input_stack(jnp.asarray(traj), self._dev_map,
                                     offsets, obsv_len=self.config.obsv_len)
         hypos = self.network_manager.inference(stack)        # (T, M, 2)
 

@@ -130,7 +130,10 @@ class TrajectoryTracker:
         start = timeit.default_timer()
         u_all, valid_mask = candidate_grid(self.config, self.robot_spec,
                                            self.grid, np.asarray(last_u))
-        res = self.engine(
+        # One host transfer for the whole result (per-field reads would be
+        # a device round trip each on a remote-TPU backend).
+        import jax
+        res = jax.device_get(self.engine(
             jnp.asarray(self.state, jnp.float32),
             jnp.asarray(u_all),
             jnp.asarray(valid_mask),
@@ -139,16 +142,16 @@ class TrajectoryTracker:
             jnp.asarray(self.base_speed, jnp.float32),
             jnp.asarray(self._pad_static(static_obstacles)),
             jnp.asarray(self._pad_dynamic(dynamic_obstacles)),
-        )
+        ))
         best_u = np.asarray(res.best_u)
         best_traj = np.asarray(res.best_trajectory)
         costs = np.asarray(res.costs)
         valid = np.asarray(res.valid)
         solver_time = timeit.default_timer() - start
 
-        all_traj = [t for t, v in zip(np.asarray(res.all_trajectories), valid) if v]
+        all_traj = [t for t, v in zip(res.all_trajectories, valid) if v]
         ok_mask = valid & np.isfinite(costs)
-        ok_traj = [t for t, m in zip(np.asarray(res.all_trajectories), ok_mask) if m]
+        ok_traj = [t for t, m in zip(res.all_trajectories, ok_mask) if m]
         ok_cost = costs[ok_mask].tolist()
 
         self.state = best_traj[0, :]

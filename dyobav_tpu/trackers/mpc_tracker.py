@@ -23,7 +23,7 @@ import numpy as np
 
 from ..configs import (CircularRobotSpecification, MpcConfiguration,
                        SolverConfiguration)
-from ..motion.models import unicycle_step
+from ..motion.models import unicycle_step_np
 from ..ops.engine import MpcSolverBundle, build_mpc_solver
 
 
@@ -287,7 +287,10 @@ class TrajectoryTracker:
         if self.use_multistart:
             guesses = self._initial_guesses(last_u)
             zb = jnp.broadcast_to(z, (guesses.shape[0], z.shape[0]))
-            sols = bundle.solve_batch(zb, jnp.asarray(guesses))
+            # ONE host transfer for the whole result pytree: field-by-field
+            # np.asarray reads cost a device->host round trip each, which
+            # dominates per-step latency on a remote-TPU backend.
+            sols = jax.device_get(bundle.solve_batch(zb, jnp.asarray(guesses)))
             # Distress escalation: the warm production profile is sized for
             # receding-horizon steps whose basin did NOT move.  When the
             # NLP landscape shifts (an obstacle prediction newly blocks the
@@ -310,7 +313,8 @@ class TrajectoryTracker:
             distress = (best != 0) or bool(np.max(infeas) > infeas_bar) or \
                 not bool(sols.exit_ok[best])
             if distress and self.cold_bundle is not bundle:
-                sols = self.cold_bundle.solve_batch(zb, jnp.asarray(guesses))
+                sols = jax.device_get(
+                    self.cold_bundle.solve_batch(zb, jnp.asarray(guesses)))
                 infeas = np.asarray(sols.infeasibility)
                 score = np.asarray(sols.cost) + 1e6 * (infeas > infeas_bar)
                 best = int(np.argmin(score))
@@ -319,10 +323,11 @@ class TrajectoryTracker:
             pred_states_arr = np.asarray(sols.pred_states[best])
             exit_ok = bool(sols.exit_ok[best])
         else:
-            sol = bundle.solve(z, jnp.asarray(self._initial_guesses(last_u)[0]))
+            sol = jax.device_get(
+                bundle.solve(z, jnp.asarray(self._initial_guesses(last_u)[0])))
             if not bool(sol.exit_ok) and self.cold_bundle is not bundle:
-                sol = self.cold_bundle.solve(
-                    z, jnp.asarray(self._initial_guesses(last_u)[0]))
+                sol = jax.device_get(self.cold_bundle.solve(
+                    z, jnp.asarray(self._initial_guesses(last_u)[0])))
             u_flat = np.asarray(sol.u)
             cost = float(sol.cost)
             pred_states_arr = np.asarray(sol.pred_states)
@@ -338,11 +343,14 @@ class TrajectoryTracker:
 
         self._last_u = u_flat
         take_steps = self.config.action_steps
-        taken_states = [
-            np.asarray(unicycle_step(jnp.asarray(self.state, jnp.float32),
-                                     jnp.asarray(u_flat[i * self.nu:(i + 1) * self.nu]),
-                                     self.ts))
-            for i in range(take_steps)]
+        # Host-side RK4 (numpy twin of the in-graph model): a device
+        # dispatch for one 3-element state is a full RPC on remote TPUs.
+        taken_states = []
+        s = np.asarray(self.state, np.float64)
+        for i in range(take_steps):
+            s = unicycle_step_np(s, u_flat[i * self.nu:(i + 1) * self.nu],
+                                 self.ts)
+            taken_states.append(s)
         pred_states = [s for s in pred_states_arr]
         actions = [u_flat[i * self.nu:(i + 1) * self.nu].copy()
                    for i in range(take_steps)]
