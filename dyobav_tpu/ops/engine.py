@@ -169,19 +169,28 @@ def _build_mpc_solver_uncached(
                 # Static-size gather of failing lanes (extras beyond K stay
                 # unescalated; fill slots re-solve lane 0 harmlessly).
                 idx = jnp.nonzero(fail, size=K, fill_value=0)[0]
-                live = jnp.arange(K) < jnp.minimum(jnp.sum(fail), K)
                 deep = jax.vmap(stage)(Z[idx], U0[idx])
-                take = live & deep.exit_ok
-                upd = lambda field, new: field.at[idx].set(
-                    jnp.where(take.reshape((K,) + (1,) * (new.ndim - 1)),
-                              new, field[idx]))
+                # Gather-only merge (scatter with fill-duplicated indices
+                # has undefined write order): lane b's escalation slot is
+                # its rank among failing lanes; take the deep result where
+                # the lane is in-slot and the re-solve converged.
+                rank = jnp.cumsum(fail) - 1                # (B,)
+                slot = jnp.clip(rank, 0, K - 1)
+                in_slot = fail & (rank < K)
+                take = in_slot & deep.exit_ok[slot]
+
+                def merge(old, new):
+                    mask = take.reshape((B,) + (1,) * (new.ndim - 1))
+                    return jnp.where(mask, new[slot], old)
+
                 sol = MpcSolve(
-                    u=upd(sol.u, deep.u),
-                    cost=upd(sol.cost, deep.cost),
-                    pred_states=upd(sol.pred_states, deep.pred_states),
-                    exit_ok=upd(sol.exit_ok, deep.exit_ok),
-                    infeasibility=upd(sol.infeasibility, deep.infeasibility),
-                    residual=upd(sol.residual, deep.residual),
+                    u=merge(sol.u, deep.u),
+                    cost=merge(sol.cost, deep.cost),
+                    pred_states=merge(sol.pred_states, deep.pred_states),
+                    exit_ok=merge(sol.exit_ok, deep.exit_ok),
+                    infeasibility=merge(sol.infeasibility,
+                                        deep.infeasibility),
+                    residual=merge(sol.residual, deep.residual),
                 )
                 K = max(K // 2, 1)       # later stages fire on fewer lanes
             return sol
