@@ -72,6 +72,25 @@ class TrajectoryTracker:
             self.cold_bundle = self.bundle
         self.use_multistart = use_multistart
         self._last_u: Optional[np.ndarray] = None
+        self._warm_compiled = False
+
+    def _warmup(self) -> None:
+        """Compile both bundles' multistart-shaped solves up front (the
+        reference analogue: importing the prebuilt Rust .so).  Without
+        this, whichever episode first triggers the distress escalation
+        pays the cold bundle's compile INSIDE a timed control step — the
+        r3 TPU eval table recorded a 478 s solve_time_max from exactly
+        that.  Bundles and jit caches are shared process-wide, so only the
+        first tracker per configuration pays anything."""
+        if self._warm_compiled:
+            return
+        n_guess = len(self._initial_guesses(np.zeros(self.nu)))
+        z = jnp.zeros((n_guess, self.config.n_params), jnp.float32)
+        u0 = jnp.zeros((n_guess, self.nu * self.N_hor), jnp.float32)
+        self.bundle.solve_batch(z, u0).u.block_until_ready()
+        if self.cold_bundle is not self.bundle:
+            self.cold_bundle.solve_batch(z, u0).u.block_until_ready()
+        self._warm_compiled = True
 
     # ------------------------------------------------------------------ setup
     def load_motion_model(self, motion_model) -> None:
@@ -92,6 +111,8 @@ class TrajectoryTracker:
         self.idx_ref_path = 0
         self.idle = False
         self._last_u = None
+        if self.use_multistart:
+            self._warmup()
 
     def set_obstacle_weights(self, stc_weights, dyn_weights):
         to_list = lambda w: list(w) if isinstance(w, list) else [float(w)] * self.N_hor
