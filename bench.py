@@ -284,7 +284,7 @@ def bench_full_step(iters: int) -> int:
 
     repo = os.path.dirname(os.path.abspath(__file__))
     ckpt = os.environ.get("BENCH_CKPT",
-                          os.path.join(repo, "Model", "wsd_1t20"))
+                          os.path.join(repo, "Model", "wsd_1t20_full"))
 
     base = MainBase(max_run_time_step=3, evaluation=True, seed=0)
     sc = build_scenario(base, scenario_index=0)

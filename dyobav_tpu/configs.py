@@ -191,7 +191,7 @@ class WtaNetConfiguration(_YamlConfig):
     data_path: str = "data/WSD_1t20_train"
     label_csv: str = "all_data.csv"
     label_path: str = "data/WSD_1t20_train/all_data.csv"
-    model_path: str = "Model/wsd_1t20"
+    model_path: str = "Model/wsd_1t20_full"   # promoted r3 (full recipe)
 
 
 @dataclass(frozen=True)

@@ -76,9 +76,13 @@ class ObstacleSnapper:
         return pts
 
 
+# Promoted round 3: the full-coverage 20-epoch checkpoint (oracle error
+# 1.30 px vs 5.99 for the 8-epoch `wsd_1t20`; TPU protocol success
+# 0.9/1.0/... vs 0.7/0.7/0.8 — docs/predictor_ab_r3.log,
+# docs/eval_protocol_tpu_mmp_*.json).
 DEFAULT_CKPT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "Model", "wsd_1t20")
+    "Model", "wsd_1t20_full")
 
 
 class MmpInterface:

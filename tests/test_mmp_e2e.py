@@ -7,7 +7,7 @@ import pytest
 from dyobav_tpu.configs import SolverConfiguration, WtaNetConfiguration
 
 REPO = os.path.join(os.path.dirname(__file__), "..")
-CKPT = os.path.abspath(os.path.join(REPO, "Model", "wsd_1t20"))
+CKPT = os.path.abspath(os.path.join(REPO, "Model", "wsd_1t20_full"))
 DATA = os.path.join(REPO, "data", "warehouse_sim_original")
 
 pytestmark = pytest.mark.skipif(
