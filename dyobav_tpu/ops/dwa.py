@@ -57,9 +57,14 @@ class DwaResult(NamedTuple):
 
 def build_dwa_engine(cfg: DwaConfiguration, robot: CircularRobotSpecification,
                      max_static_obs: int = 64, max_dyn_obs: int = 16):
-    """Returns a jitted step(state, last_u, goal, ref_path, base_speed,
-    static_obs, dyn_obs_steps) -> DwaResult.
+    """Returns (jitted step, grid spec) where step has signature
+    step(state, u_all, valid, goal, ref_path, base_speed, static_obs,
+    dyn_obs_steps) -> DwaResult.
 
+    u_all / valid: the host-built float64-exact candidate grid and its
+        membership mask — build them with `candidate_grid(cfg, robot, spec,
+        last_u)` each control step (see step_fn for why the grid cannot be
+        built in-graph).
     static_obs: (max_static_obs, 4, 2) polygon vertices, FAR-padded.
     dyn_obs_steps: (N_hor+1, max_dyn_obs, 2) predicted positions per step,
         FAR-padded (step 0 = current positions).
@@ -153,6 +158,14 @@ def build_dwa_engine(cfg: DwaConfiguration, robot: CircularRobotSpecification,
         # Stuck-escape (:345-346): slow best → spin at max angular speed.
         best_u = jnp.where(jnp.abs(best_u[0]) < cfg.stuck_threshold,
                            jnp.array([best_u[0], -robot.ang_vel_max]), best_u)
+        # All candidates invalid or inf-cost (fully boxed in, or an empty
+        # arange window): the reference never updates best_u and returns
+        # zeros (stop), skipping the stuck rewrite (trajectory_tracker.py:
+        # 304-355 leaves best_u at its zero init when no candidate improves
+        # inf).  argmin over all-inf would otherwise pick padded candidate 0
+        # and the stuck rule could rewrite it into a spin command.
+        any_finite = jnp.any(jnp.isfinite(costs))
+        best_u = jnp.where(any_finite, best_u, jnp.zeros_like(best_u))
         return DwaResult(
             best_u=best_u, best_trajectory=trajs[best], min_cost=costs[best],
             all_trajectories=trajs, costs=costs, valid=valid,

@@ -32,15 +32,25 @@ HUMAN_SIZE = 0.2
 FAR_COORD = 1.0e6     # padding sentinel for inert obstacle/waypoint slots
 
 
-def ref_window_select(ref_traj, ref_len, ref_idx, state, N: int):
+def ref_window_select(ref_traj, ref_len, ref_idx, state, N: int,
+                      action_steps: int = 1):
     """jax port of the tracker's local-window selection
     (trajectory_tracker.py:242-270).  Shared by the single-robot and fleet
-    batched simulators."""
-    lb = jnp.maximum(0, ref_idx - 1)
-    cand = jax.lax.dynamic_slice(ref_traj, (lb, 0), (6, 3))
-    cand_idx = lb + jnp.arange(6)
+    batched simulators.
+
+    The candidate window spans [ref_idx - action_steps, ref_idx +
+    5*action_steps) exactly like the tracker's `get_ref_states` (which
+    scales both bounds by `action_steps`); rows past `ref_len` are
+    replicated final states by scenario construction, so the fixed-size
+    slice stays exact even when the labels run past the true end.
+    """
+    W = 6 * action_steps
+    lb = jnp.maximum(0, ref_idx - action_steps)
+    cand = jax.lax.dynamic_slice(ref_traj, (lb, 0), (W, 3))
+    cand_idx = lb + jnp.arange(W)
     d = jnp.hypot(cand[:, 0] - state[0], cand[:, 1] - state[1])
-    d = jnp.where(cand_idx < ref_len, d, jnp.inf)
+    ub = jnp.minimum(ref_len, ref_idx + 5 * action_steps)
+    d = jnp.where(cand_idx < ub, d, jnp.inf)
     idx_next = lb + jnp.argmin(d)
     start = jnp.minimum(idx_next, ref_traj.shape[0] - N)
     window = jax.lax.dynamic_slice(ref_traj, (start, 0), (N, 3))
@@ -215,7 +225,8 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
             return res.u
 
     def ref_window(ref_traj, ref_len, ref_idx, state):
-        return ref_window_select(ref_traj, ref_len, ref_idx, state, N)
+        return ref_window_select(ref_traj, ref_len, ref_idx, state, N,
+                                 cfg.action_steps)
 
     def human_step(humans, wp_idx, paths, path_len, rng):
         return human_waypoint_step(humans, wp_idx, paths, path_len, rng,

@@ -179,7 +179,7 @@ def build_fleet_sim(cfg: MpcConfiguration,
         H = st.humans.shape[0]
         windows, ref_idx = jax.vmap(
             lambda traj, length, idx, state: ref_window_select(
-                traj, length, idx, state, N)
+                traj, length, idx, state, N, cfg.action_steps)
         )(sc.ref_trajs, sc.ref_lens, st.ref_idx, st.robots)
 
         prediction = predict_fn(st.human_hist)
@@ -267,7 +267,7 @@ def build_fleet_sim(cfg: MpcConfiguration,
         if cold_solve_one is not None:
             windows0, _ = jax.vmap(
                 lambda traj, length, idx, state: ref_window_select(
-                    traj, length, idx, state, N)
+                    traj, length, idx, state, N, cfg.action_steps)
             )(sc.ref_trajs, sc.ref_lens, st.ref_idx, st.robots)
             dyn0 = assemble_dyn_obstacles(st.humans,
                                           predict_fn(st.human_hist),

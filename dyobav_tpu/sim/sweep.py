@@ -28,9 +28,10 @@ def main(argv=None) -> int:
     ap.add_argument("--distributed", action="store_true",
                     help="multi-host: jax.distributed over ICI/DCN; run one "
                          "process per host (degenerate no-op on one host)")
-    ap.add_argument("--inner-iters", type=int, default=0,
-                    help="0 = the production SolverConfiguration() profile")
-    ap.add_argument("--outer-iters", type=int, default=3)
+    ap.add_argument("--inner-iters", type=int, default=None,
+                    help="custom solver budget (default: the production "
+                         "SolverConfiguration() profile)")
+    ap.add_argument("--outer-iters", type=int, default=None)
     args = ap.parse_args(argv)
 
     import jax
@@ -72,12 +73,16 @@ def main(argv=None) -> int:
             mesh, cls(*[jnp.asarray(x) for x in padded]))
 
     # Default: the shipped production operating point (one configuration
-    # everywhere); explicit --inner-iters opts into a custom budget.
-    if args.inner_iters:
+    # everywhere); passing either iteration flag opts into a custom budget.
+    if args.inner_iters is not None or args.outer_iters is not None:
+        inner = (args.inner_iters if args.inner_iters is not None
+                 else SolverConfiguration().max_inner_iters)
+        outer = (args.outer_iters if args.outer_iters is not None
+                 else SolverConfiguration().max_outer_iters)
         scfg = SolverConfiguration(
-            max_inner_iters=args.inner_iters,
-            max_outer_iters=args.outer_iters,
-            inner_iters_later=max(args.inner_iters // 2, 3))
+            max_inner_iters=inner,
+            max_outer_iters=outer,
+            inner_iters_later=max(inner // 2, 3))
     else:
         scfg = SolverConfiguration()
     if fleet:

@@ -366,12 +366,15 @@ class TrajectoryTracker:
         take_steps = self.config.action_steps
         # Host-side RK4 (numpy twin of the in-graph model): a device
         # dispatch for one 3-element state is a full RPC on remote TPUs.
-        taken_states = []
-        s = np.asarray(self.state, np.float64)
-        for i in range(take_steps):
-            s = unicycle_step_np(s, u_flat[i * self.nu:(i + 1) * self.nu],
-                                 self.ts)
-            taken_states.append(s)
+        # Reference quirk preserved (trajectory_tracker.py:369-372): every
+        # taken state integrates from the SAME current state rather than
+        # chaining — identical for action_steps=1 (all shipped configs),
+        # and kept as spec per CLAUDE.md for larger action_steps.
+        s0 = np.asarray(self.state, np.float64)
+        taken_states = [
+            unicycle_step_np(s0, u_flat[i * self.nu:(i + 1) * self.nu],
+                             self.ts)
+            for i in range(take_steps)]
         pred_states = [s for s in pred_states_arr]
         actions = [u_flat[i * self.nu:(i + 1) * self.nu].copy()
                    for i in range(take_steps)]

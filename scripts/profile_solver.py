@@ -54,7 +54,6 @@ def main() -> int:
                                     MpcConfiguration, SolverConfiguration)
     from dyobav_tpu.ops import costs
     from dyobav_tpu.ops.engine import build_mpc_solver
-    from dyobav_tpu.ops.pallas_linalg import batched_spd_solve
     from dyobav_tpu.ops.params import empty_params, pack, tuning_vector, unpack
 
     cfg = MpcConfiguration()
@@ -93,15 +92,19 @@ def main() -> int:
     print(f"hessian         B={B}: {t_h*1e3:8.2f} ms ({B/t_h:,.0f}/s)",
           flush=True)
 
+    from dyobav_tpu.ops import pallas_spd
+
     H = hess(U, Z) + 10.0 * jnp.eye(40)[None]
     g = vg(U, Z)[1]
-    t_solve_xla = timeit(lambda: batched_spd_solve(H, g, force_pallas=False))
+    xla_solve = jax.jit(
+        lambda A, b: jax.scipy.linalg.cho_solve(
+            (jax.lax.linalg.cholesky(A), True), b[..., None])[..., 0])
+    t_solve_xla = timeit(lambda: xla_solve(H, g))
     print(f"lin solve (XLA) B={B}: {t_solve_xla*1e3:8.2f} ms", flush=True)
     try:
-        t_solve_pl = timeit(lambda: batched_spd_solve(H, g, force_pallas=True))
-        err = float(jnp.max(jnp.abs(
-            batched_spd_solve(H, g, force_pallas=True)
-            - batched_spd_solve(H, g, force_pallas=False))))
+        pl_solve = jax.jit(pallas_spd.spd_solve)
+        t_solve_pl = timeit(lambda: pl_solve(H, g))
+        err = float(jnp.max(jnp.abs(pl_solve(H, g) - xla_solve(H, g))))
         print(f"lin solve (Pallas) B={B}: {t_solve_pl*1e3:8.2f} ms "
               f"(max dev {err:.2e})", flush=True)
     except Exception as e:
