@@ -104,9 +104,22 @@ def main() -> int:
     else:
         profile_name = os.environ.get("BENCH_PROFILE", "default")
         inner, outer, later, sub, pen = profiles[profile_name]
+    # BENCH_LADDER="i,o,l,s,p;i,o,l,s,p" and BENCH_SLOTS="d1,d2" override
+    # the escalation-stage profiles / per-stage slot divisors (tuning the
+    # escalated tail's cost/quality point without code edits).
+    ladder_env = os.environ.get("BENCH_LADDER", "")
+    ladder = (tuple(tuple(float(x) if i == 4 else int(x)
+                          for i, x in enumerate(stage.split(",")))
+                    for stage in ladder_env.split(";"))
+              if ladder_env else _d.escalation_ladder)
+    slots_env = os.environ.get("BENCH_SLOTS", "")
+    slots = (tuple(int(x) for x in slots_env.split(","))
+             if slots_env else _d.escalation_slots)
     scfg = SolverConfiguration(max_inner_iters=inner, max_outer_iters=outer,
                                inner_iters_later=later, newton_substeps=sub,
                                initial_penalty=pen,
+                               escalation_ladder=ladder,
+                               escalation_slots=slots,
                                linear_solver=os.environ.get(
                                    "BENCH_LINSOLVE", _d.linear_solver),
                                fused=os.environ.get("BENCH_FUSED", "1") != "0")

@@ -28,6 +28,13 @@ def _load_yaml(path: str, multi_doc: bool = False) -> dict:
         return yaml.safe_load(stream) or {}
 
 
+def save_yaml_all(docs, yaml_path: str) -> None:
+    """Write a multi-document YAML (`---`-separated), mirroring the
+    reference's `utils_yaml.to_yaml_all` (utils/utils_yaml.py:50-55)."""
+    with open(yaml_path, "w") as f:
+        yaml.safe_dump_all(docs, f, explicit_start=True, sort_keys=False)
+
+
 class _YamlConfig:
     """Mixin: construct any config dataclass from a (reference-schema) YAML."""
 
@@ -193,6 +200,27 @@ class WtaNetConfiguration(_YamlConfig):
     label_path: str = "data/WSD_1t20_train/all_data.csv"
     model_path: str = "Model/wsd_1t20_full"   # promoted r3 (full recipe)
 
+    # Field partition of the reference's 4-document training YAMLs, in the
+    # generator's document order (utils/utils_yaml.py:13-42).
+    _PARTITION = (
+        ("pred_len", "obsv_len", "dim_out", "fc_input", "num_hypos",
+         "dynamic_env", "device", "input_channel"),
+        ("epoch", "batch_size", "early_stopping", "learning_rate",
+         "weight_regularization", "checkpoint_dir"),
+        ("x_max_px", "y_max_px", "cell_width"),
+        ("model_path", "data_name", "label_csv", "data_path", "label_path"),
+    )
+
+    def save_yaml_partition(self, yaml_path: str) -> None:
+        """Regenerate a multi-document training YAML — the counterpart of
+        the reference's config generator (`utils/utils_yaml.py:44-56`
+        `to_yaml_all`), emitting the same general/training/converting/path
+        document split so the file round-trips through
+        `from_yaml(with_partition=True)` and the reference's own loader."""
+        d = self.to_dict()
+        docs = [{k: d[k] for k in part} for part in self._PARTITION]
+        save_yaml_all(docs, yaml_path)
+
 
 @dataclass(frozen=True)
 class SolverConfiguration:
@@ -264,6 +292,31 @@ class SolverConfiguration:
                                     # convergence at 3,608 solves/s
                                     # (BENCH_CUSTOM=12,6,5,1,10
                                     # BENCH_WARM_STEPS=0).
+    escalation_ladder: Any = None
+                                    # Stage profiles (inner, outer, later,
+                                    # substeps[, penalty]) for the
+                                    # escalated batch path; None = the
+                                    # default (cold_profile, then the
+                                    # OpEn-default strong budget).  The
+                                    # stages run sequentially on the
+                                    # still-failing tail, so their
+                                    # SEQUENTIAL iteration count is what
+                                    # each stage costs at small slot
+                                    # counts (latency-bound on TPU).
+    escalation_slots: Any = (32, 128)
+                                    # Per-stage slot DIVISORS for the
+                                    # escalated batch path: ladder stage i
+                                    # re-solves up to max(B // slots[i], 1)
+                                    # failed lanes (engine.
+                                    # solve_batch_escalated).  Sized to the
+                                    # measured failure tail at B=1024
+                                    # (raw-profile fail ~2.4% ≈ 25 lanes →
+                                    # B/32 = 32 deep slots; post-deep fail
+                                    # ~25% of those ≈ 6 → B/128 = 8 strong
+                                    # slots; docs/triage_tail_r3_b1024.json).
+                                    # Stages are lax.cond-gated on any-fail
+                                    # so a fully-converged batch pays
+                                    # nothing.
     newton_substeps: int = 3        # Newton updates per Hessian refresh
                                     # (chord method): the exact Hessian is
                                     # ~90% of per-iteration compute, so K>1

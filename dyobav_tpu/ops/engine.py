@@ -34,6 +34,14 @@ class MpcSolve(NamedTuple):
 class MpcSolverBundle(NamedTuple):
     solve: Callable             # (z, u0) -> MpcSolve              [jitted]
     solve_batch: Callable       # (Z[B,n], U0[B,m]) -> MpcSolve    [jitted vmap]
+                                # NOTE: runs the WARM profile only.  With
+                                # the default pre-escalated-penalty config
+                                # it converges ~99% of warm-started
+                                # receding-horizon problems but only ~42%
+                                # of COLD ones (BENCH_r03 exit_ok_cold) —
+                                # cold/distressed solves belong on
+                                # solve_batch_escalated or a cold-profile
+                                # bundle (see trackers/mpc_tracker.py).
     objective: Callable         # (u, z) -> CostBreakdown (diagnostics)
     n_params: int
     n_decision: int
@@ -69,12 +77,39 @@ def build_mpc_solver(
     cached = _BUNDLE_CACHE.get(key)
     if cached is not None:
         return cached
+    _check_cold_safety(solver_cfg)
     bundle = _build_mpc_solver_uncached(cfg, robot, solver_cfg, dtype, method)
     _BUNDLE_CACHE[key] = bundle
     return bundle
 
 
 _BUNDLE_CACHE: dict = {}
+_COLD_WARNED = False
+
+
+def _check_cold_safety(scfg: SolverConfiguration | None) -> None:
+    """One-time warning for the one genuinely unsafe configuration: a
+    penalty-pre-escalated warm profile with NO cold escalation path.  Such a
+    bundle's `solve_batch` converges only ~42% of COLD (no-warm-start)
+    problems (BENCH_r03.json exit_ok_cold) — production paths cover this
+    via `cold_profile` / `solve_batch_escalated`, but a direct consumer
+    would silently inherit it.  From-scratch penalty ramps (initial_penalty
+    < 100, e.g. `strong_configuration()` or explicit deep profiles) are
+    self-sufficient and stay silent."""
+    global _COLD_WARNED
+    if scfg is None or _COLD_WARNED:
+        return
+    if scfg.cold_profile is None and scfg.initial_penalty >= 100.0:
+        import warnings
+        warnings.warn(
+            "SolverConfiguration has a pre-escalated warm penalty "
+            f"(initial_penalty={scfg.initial_penalty}) but cold_profile="
+            "None: bundle.solve_batch will converge only ~42% of cold "
+            "(no-warm-start) problems.  Set cold_profile (default) and "
+            "route cold/distressed solves through solve_batch_escalated "
+            "or a cold bundle, or use strong_configuration().",
+            stacklevel=3)
+        _COLD_WARNED = True
 
 
 def _build_mpc_solver_uncached(
@@ -156,43 +191,64 @@ def _build_mpc_solver_uncached(
 
             return _solve_stage
 
-        ladder = [tuple(scfg.cold_profile), (30, 10, 10, 1, 10.0)]
+        ladder = (list(tuple(p) for p in scfg.escalation_ladder)
+                  if scfg.escalation_ladder
+                  else [tuple(scfg.cold_profile), (30, 10, 10, 1, 10.0)])
         stages = [_make_stage(p) for p in ladder]
+        divisors = tuple(scfg.escalation_slots)
+        if len(divisors) < len(stages):     # pad: later stages reuse last
+            divisors = divisors + (divisors[-1],) * (len(stages)
+                                                     - len(divisors))
+
+        def _run_stage(stage, K, Z, U0, sol) -> MpcSolve:
+            B = Z.shape[0]
+            fail = jnp.logical_not(sol.exit_ok)
+            # Static-size gather of failing lanes (extras beyond K stay
+            # unescalated; fill slots re-solve lane 0 harmlessly).
+            idx = jnp.nonzero(fail, size=K, fill_value=0)[0]
+            deep = jax.vmap(stage)(Z[idx], U0[idx])
+            # Gather-only merge (scatter with fill-duplicated indices
+            # has undefined write order): lane b's escalation slot is
+            # its rank among failing lanes; take the deep result where
+            # the lane is in-slot and the re-solve converged.
+            rank = jnp.cumsum(fail) - 1                # (B,)
+            slot = jnp.clip(rank, 0, K - 1)
+            in_slot = fail & (rank < K)
+            take = in_slot & deep.exit_ok[slot]
+
+            def merge(old, new):
+                mask = take.reshape((B,) + (1,) * (new.ndim - 1))
+                return jnp.where(mask, new[slot], old)
+
+            return MpcSolve(
+                u=merge(sol.u, deep.u),
+                cost=merge(sol.cost, deep.cost),
+                pred_states=merge(sol.pred_states, deep.pred_states),
+                exit_ok=merge(sol.exit_ok, deep.exit_ok),
+                infeasibility=merge(sol.infeasibility,
+                                    deep.infeasibility),
+                residual=merge(sol.residual, deep.residual),
+            )
 
         def _solve_batch_escalated(Z: jnp.ndarray, U0: jnp.ndarray
                                    ) -> MpcSolve:
             B = Z.shape[0]
             sol = jax.vmap(_solve_one)(Z, U0)
-            K = max(B // 16, 1)          # stage-1 slots (tail ~2-3%)
-            for stage in stages:
-                fail = jnp.logical_not(sol.exit_ok)
-                # Static-size gather of failing lanes (extras beyond K stay
-                # unescalated; fill slots re-solve lane 0 harmlessly).
-                idx = jnp.nonzero(fail, size=K, fill_value=0)[0]
-                deep = jax.vmap(stage)(Z[idx], U0[idx])
-                # Gather-only merge (scatter with fill-duplicated indices
-                # has undefined write order): lane b's escalation slot is
-                # its rank among failing lanes; take the deep result where
-                # the lane is in-slot and the re-solve converged.
-                rank = jnp.cumsum(fail) - 1                # (B,)
-                slot = jnp.clip(rank, 0, K - 1)
-                in_slot = fail & (rank < K)
-                take = in_slot & deep.exit_ok[slot]
-
-                def merge(old, new):
-                    mask = take.reshape((B,) + (1,) * (new.ndim - 1))
-                    return jnp.where(mask, new[slot], old)
-
-                sol = MpcSolve(
-                    u=merge(sol.u, deep.u),
-                    cost=merge(sol.cost, deep.cost),
-                    pred_states=merge(sol.pred_states, deep.pred_states),
-                    exit_ok=merge(sol.exit_ok, deep.exit_ok),
-                    infeasibility=merge(sol.infeasibility,
-                                        deep.infeasibility),
-                    residual=merge(sol.residual, deep.residual),
-                )
-                K = max(K // 2, 1)       # later stages fire on fewer lanes
+            for stage, div in zip(stages, divisors):
+                # Slot floor: at small batches the divisor rule would leave
+                # most failing lanes unescalated (B=8 → 0-1 slots); 8 slots
+                # cost nothing at that scale.
+                K = max(B // div, min(B, 8), 1)
+                # Gate the whole stage on any-fail: lax.cond under jit (no
+                # surrounding vmap) executes ONE branch, so a batch whose
+                # lanes all converged pays nothing for the ladder — the
+                # common case for warm in-scan solves at sim batch sizes.
+                sol = jax.lax.cond(
+                    jnp.any(jnp.logical_not(sol.exit_ok)),
+                    lambda s, stage=stage, K=K: _run_stage(stage, K, Z, U0,
+                                                           s),
+                    lambda s: s,
+                    sol)
             return sol
 
         solve_batch_escalated = jax.jit(_solve_batch_escalated)

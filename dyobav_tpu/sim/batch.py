@@ -93,18 +93,44 @@ def cv_predict_horizon(hist, N: int):
     return mu, jnp.ones_like(mu), jnp.ones(mu.shape[:2], mu.dtype)
 
 
-def closest_obstacle_halfspaces(all_polys, all_stc, state, n_top: int):
-    """Per-step closest-N halfspace selection (the in-graph counterpart of
-    `MpcInterface.get_closest_n_stc_obstacles`, mpc_interface.py:90-98)."""
-    a = all_polys                                      # (M, 4, 2)
+def polygon_edge_distances(all_polys, pt):
+    """(M,) min point-to-boundary distance per polygon (FAR slots inert).
+    Boundary distance only — callers that need shapely's 0-when-inside
+    semantics combine this with `point_in_any_quad`."""
+    a = all_polys                                      # (M, V, 2)
     b = jnp.roll(a, -1, axis=1)
     d = b - a
     len_sq = jnp.sum(d * d, axis=-1) + 1e-16
-    rel = state[None, None, :2] - a
+    rel = pt[None, None, :] - a
     t = jnp.clip(jnp.sum(rel * d, axis=-1) / len_sq, 0.0, 1.0)
     closest = a + t[..., None] * d
-    dist = jnp.min(jnp.linalg.norm(state[None, None, :2] - closest,
-                                   axis=-1), axis=1)   # (M,)
+    return jnp.min(jnp.linalg.norm(pt[None, None, :] - closest, axis=-1),
+                   axis=1)                             # (M,)
+
+
+def point_in_any_quad(pt, all_polys):
+    """Strictly-inside test over convex padded polygons — the in-graph
+    counterpart of the harness collision check's `Polygon.contains(Point)`
+    (main_pre.py:24-27; shapely `contains` is False on the boundary, as is
+    this strict cross-product test).  Degenerate slots (FAR padding,
+    repeated vertices) contribute zero-length edges which are skipped, so
+    they can never report containment."""
+    a = all_polys                                      # (M, V, 2)
+    b = jnp.roll(a, -1, axis=1)
+    e = b - a
+    cross = (e[..., 0] * (pt[1] - a[..., 1])
+             - e[..., 1] * (pt[0] - a[..., 0]))        # (M, V)
+    valid = jnp.sum(e * e, axis=-1) > 1e-18
+    all_pos = jnp.all(jnp.where(valid, cross > 0, True), axis=1)
+    all_neg = jnp.all(jnp.where(valid, cross < 0, True), axis=1)
+    nonempty = jnp.any(valid, axis=1)
+    return jnp.any((all_pos | all_neg) & nonempty)
+
+
+def closest_obstacle_halfspaces(all_polys, all_stc, state, n_top: int):
+    """Per-step closest-N halfspace selection (the in-graph counterpart of
+    `MpcInterface.get_closest_n_stc_obstacles`, mpc_interface.py:90-98)."""
+    dist = polygon_edge_distances(all_polys, state[:2])
     _, idx = jax.lax.top_k(-dist, n_top)
     return all_stc[idx]
 
@@ -156,25 +182,128 @@ class SimState(NamedTuple):
     u_warm: jnp.ndarray         # (nu*N,) previous solution (warm start)
     ref_idx: jnp.ndarray        # ()
     done: jnp.ndarray           # () bool — reached goal
-    collided: jnp.ndarray       # () bool
-    min_clearance: jnp.ndarray  # ()
+    collided: jnp.ndarray       # () bool (human proximity OR inside a
+                                #   static polygon, harness semantics)
+    min_clearance: jnp.ndarray  # () min human distance so far
+    min_static: jnp.ndarray     # () min static-boundary distance so far
+    solver_fails: jnp.ndarray   # () int32: steps whose merged solve stayed
+                                #   non-converged after the ladder
     rng: jnp.ndarray            # PRNG key
 
 
 class BatchResult(NamedTuple):
     success: jnp.ndarray        # (B,) reached goal without collision
     collided: jnp.ndarray       # (B,)
-    min_clearance: jnp.ndarray  # (B,)
+    min_clearance: jnp.ndarray  # (B,) vs pedestrians
     final_state: jnp.ndarray    # (B, 3)
     steps_used: jnp.ndarray     # (B,)
+    min_static_clearance: jnp.ndarray  # (B,) vs inflated static polygons
+    solver_fail_steps: jnp.ndarray     # (B,) non-converged steps per lane
+
+
+def build_lane_solvers(cfg: MpcConfiguration,
+                       robot_cfg: CircularRobotSpecification,
+                       scfg: SolverConfiguration, escalate: bool = True,
+                       dtype=jnp.float32):
+    """Production solver closures for the batched simulators.
+
+    Returns (solve_warm, cold_solve, solve_batch):
+      solve_warm(p: MpcParams, u0) -> NewtonResult — one warm-profile lane;
+      cold_solve — same at `scfg.cold_profile` (None when unset), for the
+        episode's first no-warm-start solve;
+      solve_batch(P, U0) — warm solve for every lane + the lax.cond-gated
+        deep→strong gather-merge escalation ladder of the certified batch
+        path (the MpcParams-pytree twin of `engine.solve_batch_escalated`).
+    """
+    import dataclasses
+
+    u_lo, u_hi = costs.action_bounds(cfg, robot_cfg, dtype)
+    c_lo, c_hi = costs.acceleration_bounds(cfg, robot_cfg, dtype)
+
+    def make_profile_solver(prof=None):
+        if prof is None:
+            stage_cfg = dataclasses.replace(scfg, cold_profile=None)
+        else:
+            prof = tuple(prof)
+            ci, co, cl, cs = prof[:4]
+            pen = prof[4] if len(prof) > 4 else 10.0
+            stage_cfg = dataclasses.replace(
+                scfg, max_inner_iters=ci, max_outer_iters=co,
+                inner_iters_later=cl, newton_substeps=cs,
+                initial_penalty=pen, cold_profile=None)
+
+        def solve(p: MpcParams, u0: jnp.ndarray):
+            def obj(u_flat):
+                br = costs.evaluate(u_flat, p, cfg, robot_cfg)
+                return br.objective, br.f1, br.f2
+            return make_alm_newton_solver(obj, u_lo, u_hi, c_lo, c_hi,
+                                          stage_cfg)(u0)
+        return solve
+
+    solve_warm = make_profile_solver()
+    cold_solve = (make_profile_solver(scfg.cold_profile)
+                  if scfg.cold_profile else None)
+    ladder = []
+    if escalate and scfg.cold_profile:
+        profiles = (list(tuple(p) for p in scfg.escalation_ladder)
+                    if scfg.escalation_ladder
+                    else [tuple(scfg.cold_profile), (30, 10, 10, 1, 10.0)])
+        ladder = [make_profile_solver(p) for p in profiles]
+    divisors = tuple(scfg.escalation_slots)
+    if len(divisors) < len(ladder):
+        divisors = divisors + (divisors[-1],) * (len(ladder) - len(divisors))
+
+    def solve_batch(P: MpcParams, U0: jnp.ndarray):
+        B = U0.shape[0]
+        res = jax.vmap(solve_warm)(P, U0)
+        for stage, div in zip(ladder, divisors):
+            K = max(B // div, min(B, 8), 1)   # slot floor, see engine.py
+
+            def run_stage(res, stage=stage, K=K):
+                fail = jnp.logical_not(res.converged)
+                idx = jnp.nonzero(fail, size=K, fill_value=0)[0]
+                Pk = jax.tree.map(lambda x: x[idx], P)
+                deep = jax.vmap(stage)(Pk, U0[idx])
+                # Gather-only merge: lane b's slot is its rank among
+                # failing lanes; take the deep result where in-slot and
+                # the re-solve converged (see engine._run_stage).
+                rank = jnp.cumsum(fail) - 1
+                slot = jnp.clip(rank, 0, K - 1)
+                take = fail & (rank < K) & deep.converged[slot]
+
+                def merge(old, new):
+                    mask = take.reshape((B,) + (1,) * (new.ndim - 1))
+                    return jnp.where(mask, new[slot], old)
+
+                return jax.tree.map(merge, res, deep)
+
+            res = jax.lax.cond(jnp.any(jnp.logical_not(res.converged)),
+                               run_stage, lambda r: r, res)
+        return res
+
+    return solve_warm, cold_solve, solve_batch
 
 
 def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification,
                     solver_cfg: SolverConfiguration | None = None,
                     n_humans: int = 1, human_vmax: float = 1.5,
                     human_stagger: float = 0.5, n_steps: int = 120,
-                    predictor=None, dtype=jnp.float32):
+                    predictor=None, escalate: bool = True,
+                    dtype=jnp.float32):
     """Returns run(batch: Scenario[B], seed) -> BatchResult — fully jitted.
+
+    Production-faithful semantics (the sweep runs the SAME operating point
+    the per-scenario harness and the headline bench certify):
+      * collision = strictly inside any inflated static polygon OR within
+        HUMAN_SIZE of a pedestrian, per step, mirroring the harness check
+        (main_pre.py:20-32); `min_static_clearance` tracks the static
+        boundary distance like `calc_minimal_obstacle_distance` (:39-42).
+      * every in-scan solve runs the escalated-tail ladder of the certified
+        batch path (`engine.solve_batch_escalated` semantics): warm profile
+        for every lane, then lax.cond-gated deep→strong re-solves of the
+        non-converged tail, gathered ACROSS the scenario batch — which is
+        why the episode loop is a scan over time of a batch-level step
+        rather than a vmap of per-scenario scans.
 
     predictor: optional pure function `hist (5, H, 2) -> (mu (N, K, 2),
     std (N, K, 2), alpha (N, K))` in world coordinates producing the
@@ -182,6 +311,8 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
     constant-velocity predictor with unit std (one slot per human).
     `make_wta_predictor` builds the full neural (SWTA + on-device CGF)
     version — BASELINE config #3 at scenario-batch scale.
+    escalate: False opts out of the in-scan ladder (warm profile only; the
+    cold pre-solve keeps running) — mostly for A/B measurement.
     """
     scfg = solver_cfg or SolverConfiguration()
     N = cfg.N_hor
@@ -189,40 +320,14 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
     base_speed = robot_cfg.lin_vel_max * 0.8      # 'work' mode
     q_vec = jnp.asarray(tuning_vector(cfg), dtype)
 
-    u_lo, u_hi = costs.action_bounds(cfg, robot_cfg, dtype)
-    c_lo, c_hi = costs.acceleration_bounds(cfg, robot_cfg, dtype)
-
-    def solve_one(p: MpcParams, u0: jnp.ndarray):
-        def obj(u_flat):
-            br = costs.evaluate(u_flat, p, cfg, robot_cfg)
-            return br.objective, br.f1, br.f2
-        res = make_alm_newton_solver(obj, u_lo, u_hi, c_lo, c_hi, scfg)(u0)
-        return res.u
-
     # Cold-start escalation (mirrors the tracker's cold_bundle,
     # trackers/mpc_tracker.py): the production warm profile is sized for
     # shifted warm starts, which the FIRST solve of an episode does not
     # have.  When cold_profile is set, the step-0 problem is pre-solved
     # once with the escalated budget and its solution seeds the scan's
     # warm-start carry — the in-scan step-0 solve then just refines it.
-    cold_solve_one = None
-    if scfg.cold_profile:
-        import dataclasses
-        prof = tuple(scfg.cold_profile)
-        ci, co, cl, cs = prof[:4]
-        pen = prof[4] if len(prof) > 4 else 10.0
-        cold_cfg = dataclasses.replace(
-            scfg, max_inner_iters=ci, max_outer_iters=co,
-            inner_iters_later=cl, newton_substeps=cs, initial_penalty=pen,
-            cold_profile=None)
-
-        def cold_solve_one(p: MpcParams, u0: jnp.ndarray):
-            def obj(u_flat):
-                br = costs.evaluate(u_flat, p, cfg, robot_cfg)
-                return br.objective, br.f1, br.f2
-            res = make_alm_newton_solver(obj, u_lo, u_hi, c_lo, c_hi,
-                                         cold_cfg)(u0)
-            return res.u
+    _, cold_solve_one, solve_batch = build_lane_solvers(
+        cfg, robot_cfg, scfg, escalate=escalate, dtype=dtype)
 
     def ref_window(ref_traj, ref_len, ref_idx, state):
         return ref_window_select(ref_traj, ref_len, ref_idx, state, N,
@@ -253,13 +358,15 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
             q_dyn=jnp.full((N,), 10.0, dtype),
         )
 
-    def scenario_step(sc: Scenario, st: SimState):
+    def assemble_step(sc: Scenario, st: SimState):
+        """Per-lane pre-solve work: ref window + prediction + params."""
         window, ref_idx = ref_window(sc.ref_traj, sc.ref_len, st.ref_idx,
                                      st.robot)
         prediction = predict_fn(st.human_hist)
-        p = assemble_params(sc, st, window, prediction)
-        u = solve_one(p, st.u_warm)
+        return assemble_params(sc, st, window, prediction), ref_idx
 
+    def apply_step(sc: Scenario, st: SimState, u, solver_ok, ref_idx):
+        """Per-lane post-solve work: dynamics, collisions, bookkeeping."""
         action = u[:2]
         action = jnp.where(action[0] < 0, jnp.zeros(2, dtype), action)
         robot_new = unicycle_step(st.robot, action, ts)
@@ -271,7 +378,10 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
                                    axis=0)
 
         d_humans = jnp.min(jnp.linalg.norm(robot_new[:2] - humans_new, axis=-1))
-        collided_now = d_humans <= HUMAN_SIZE
+        d_static = jnp.min(polygon_edge_distances(sc.all_polys,
+                                                  robot_new[:2]))
+        inside_static = point_in_any_quad(robot_new[:2], sc.all_polys)
+        collided_now = (d_humans <= HUMAN_SIZE) | inside_static
         dist_goal = jnp.linalg.norm(robot_new[:2] - sc.goal[:2])
         done_now = (dist_goal < 0.5) & (jnp.abs(action[0]) < 0.4)
 
@@ -290,13 +400,17 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
             collided=st.collided | (collided_now & ~frozen),
             min_clearance=jnp.where(frozen, st.min_clearance,
                                     jnp.minimum(st.min_clearance, d_humans)),
+            min_static=jnp.where(frozen, st.min_static,
+                                 jnp.minimum(st.min_static, d_static)),
+            solver_fails=st.solver_fails
+            + jnp.where(frozen, 0, (~solver_ok).astype(jnp.int32)),
             rng=rng,
         )
         return st_new
 
-    def run_scenario(sc: Scenario, seed) -> tuple:
+    def init_state(sc: Scenario, seed) -> SimState:
         H = sc.human_starts.shape[0]
-        st = SimState(
+        return SimState(
             robot=sc.robot_start.astype(dtype),
             humans=sc.human_starts.astype(dtype),
             human_wp=jnp.zeros((H,), jnp.int32),
@@ -307,33 +421,37 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
             ref_idx=jnp.array(0, jnp.int32),
             done=jnp.array(False), collided=jnp.array(False),
             min_clearance=jnp.array(jnp.inf, dtype),
+            min_static=jnp.array(jnp.inf, dtype),
+            solver_fails=jnp.array(0, jnp.int32),
             rng=jax.random.PRNGKey(seed),
         )
 
-        if cold_solve_one is not None:
-            window0, _ = ref_window(sc.ref_traj, sc.ref_len, st.ref_idx,
-                                    st.robot)
-            p0 = assemble_params(sc, st, window0,
-                                 predict_fn(st.human_hist))
-            st = st._replace(u_warm=cold_solve_one(p0, st.u_warm))
-
-        def body(st, k):
-            st2 = scenario_step(sc, st)
-            return st2, (st2.done | st2.collided)
-
-        st, done_hist = jax.lax.scan(body, st, jnp.arange(n_steps))
-        steps_used = jnp.sum(~done_hist)
-        return st, steps_used
-
     @jax.jit
     def run(batch: Scenario, seeds: jnp.ndarray) -> BatchResult:
-        st, steps = jax.vmap(run_scenario)(batch, seeds)
+        st = jax.vmap(init_state)(batch, seeds)
+
+        if cold_solve_one is not None:
+            P0, _ = jax.vmap(assemble_step)(batch, st)
+            res0 = jax.vmap(cold_solve_one)(P0, st.u_warm)
+            st = st._replace(u_warm=res0.u)
+
+        def body(st, _):
+            P, ref_idx = jax.vmap(assemble_step)(batch, st)
+            res = solve_batch(P, st.u_warm)
+            st2 = jax.vmap(apply_step)(batch, st, res.u, res.converged,
+                                       ref_idx)
+            return st2, (st2.done | st2.collided)
+
+        st, done_hist = jax.lax.scan(body, st, None, length=n_steps)
+        steps_used = jnp.sum(~done_hist, axis=0)
         return BatchResult(
             success=st.done & ~st.collided,
             collided=st.collided,
             min_clearance=st.min_clearance,
             final_state=st.robot,
-            steps_used=steps,
+            steps_used=steps_used,
+            min_static_clearance=st.min_static,
+            solver_fail_steps=st.solver_fails,
         )
 
     return run

@@ -35,11 +35,12 @@ from ..configs import (CircularRobotSpecification, MpcConfiguration,
                        SolverConfiguration)
 from ..motion.models import unicycle_step
 from ..ops import costs
-from ..ops.newton import make_alm_newton_solver
 from ..ops.params import MpcParams, tuning_vector
 from .batch import (FAR_COORD, HUMAN_SIZE, assemble_dyn_obstacles,
-                    closest_obstacle_halfspaces, cv_predict_horizon,
-                    human_waypoint_step, ref_window_select)
+                    build_lane_solvers, closest_obstacle_halfspaces,
+                    cv_predict_horizon, human_waypoint_step,
+                    point_in_any_quad, polygon_edge_distances,
+                    ref_window_select)
 
 
 class FleetScenario(NamedTuple):
@@ -62,9 +63,11 @@ class FleetState(NamedTuple):
     u_warm: jnp.ndarray         # (R, nu*N)
     ref_idx: jnp.ndarray        # (R,)
     done: jnp.ndarray           # (R,) bool
-    collided: jnp.ndarray       # (R,) bool (human or robot-robot)
+    collided: jnp.ndarray       # (R,) bool (human, robot-robot, or static)
     min_inter: jnp.ndarray      # () min inter-robot center distance so far
     min_clearance: jnp.ndarray  # (R,) min robot-human distance so far
+    min_static: jnp.ndarray     # (R,) min static-boundary distance so far
+    solver_fails: jnp.ndarray   # (R,) int32 non-converged steps per robot
     humans: jnp.ndarray         # (H, 2)
     human_wp: jnp.ndarray       # (H,)
     human_hist: jnp.ndarray     # (5, H, 2)
@@ -79,6 +82,8 @@ class FleetResult(NamedTuple):
     min_clearance: jnp.ndarray  # (B, R) vs humans (inf when H == 0)
     final_states: jnp.ndarray   # (B, R, 3)
     steps_used: jnp.ndarray     # (B,)
+    min_static_clearance: jnp.ndarray  # (B, R)
+    solver_fail_steps: jnp.ndarray     # (B, R)
 
 
 def build_fleet_sim(cfg: MpcConfiguration,
@@ -86,11 +91,16 @@ def build_fleet_sim(cfg: MpcConfiguration,
                     solver_cfg: SolverConfiguration | None = None,
                     n_robots: int = 2, n_steps: int = 120,
                     human_vmax: float = 1.5, human_stagger: float = 0.5,
-                    predictor=None, dtype=jnp.float32):
+                    predictor=None, escalate: bool = True,
+                    dtype=jnp.float32):
     """Returns run(batch: FleetScenario[B], seeds) -> FleetResult (jitted).
 
     n_robots must be <= cfg.Nother + 1 (solver other-robot slot capacity;
     slot 0 is reserved for the ego, see module docstring).
+
+    Collision and solver semantics match `build_batch_sim`: per-step static
+    polygon containment + human proximity + robot-robot disks, and the
+    production escalation ladder over the flattened B*R solve lanes.
     """
     if n_robots > cfg.Nother + 1:
         raise ValueError(
@@ -110,41 +120,17 @@ def build_fleet_sim(cfg: MpcConfiguration,
     # threshold is at 2x margin from the cost equilibrium.
     collide_dist = 0.5 * robot_cfg.vehicle_width
 
-    u_lo, u_hi = costs.action_bounds(cfg, robot_cfg, dtype)
-    c_lo, c_hi = costs.acceleration_bounds(cfg, robot_cfg, dtype)
-
     # Row i lists the other robots' indices for robot i (static shape).
     others_idx = jnp.asarray(
         np.stack([[j for j in range(R) if j != i] for i in range(R)])
         if R > 1 else np.zeros((R, 0), np.int32), jnp.int32)
 
-    def solve_one(p: MpcParams, u0: jnp.ndarray):
-        def obj(u_flat):
-            br = costs.evaluate(u_flat, p, cfg, robot_cfg)
-            return br.objective, br.f1, br.f2
-        res = make_alm_newton_solver(obj, u_lo, u_hi, c_lo, c_hi, scfg)(u0)
-        return res.u
-
-    # Cold-start escalation for the episode's first solve (same rationale
-    # as sim/batch.py: the warm profile assumes a shifted warm start).
-    cold_solve_one = None
-    if scfg.cold_profile:
-        import dataclasses
-        prof = tuple(scfg.cold_profile)
-        ci, co, cl, cs = prof[:4]
-        pen = prof[4] if len(prof) > 4 else 10.0
-        cold_cfg = dataclasses.replace(
-            scfg, max_inner_iters=ci, max_outer_iters=co,
-            inner_iters_later=cl, newton_substeps=cs, initial_penalty=pen,
-            cold_profile=None)
-
-        def cold_solve_one(p: MpcParams, u0: jnp.ndarray):
-            def obj(u_flat):
-                br = costs.evaluate(u_flat, p, cfg, robot_cfg)
-                return br.objective, br.f1, br.f2
-            res = make_alm_newton_solver(obj, u_lo, u_hi, c_lo, c_hi,
-                                         cold_cfg)(u0)
-            return res.u
+    # Shared production solver closures (warm profile + cold pre-solve +
+    # the lax.cond-gated escalation ladder); the per-step ladder gathers
+    # across ALL B*R lanes of the batch, which is why the episode loop is
+    # a scan over time of a batch-level step (see build_batch_sim).
+    _, cold_solve_one, solve_batch = build_lane_solvers(
+        cfg, robot_cfg, scfg, escalate=escalate, dtype=dtype)
 
     predict_fn = (predictor if predictor is not None
                   else lambda hist: cv_predict_horizon(hist, N))
@@ -175,8 +161,8 @@ def build_fleet_sim(cfg: MpcConfiguration,
             q_dyn=jnp.full((N,), 10.0, dtype),
         )
 
-    def fleet_step(sc: FleetScenario, st: FleetState):
-        H = st.humans.shape[0]
+    def assemble_step(sc: FleetScenario, st: FleetState):
+        """Per-scenario pre-solve work: windows + prediction + R param sets."""
         windows, ref_idx = jax.vmap(
             lambda traj, length, idx, state: ref_window_select(
                 traj, length, idx, state, N, cfg.action_steps)
@@ -189,8 +175,11 @@ def build_fleet_sim(cfg: MpcConfiguration,
         params = jax.vmap(
             lambda i, w: assemble_one(sc, st, i, w, dyn)
         )(jnp.arange(R), windows)
-        u = jax.vmap(solve_one)(params, st.u_warm)        # (R, nu*N)
+        return params, ref_idx
 
+    def apply_step(sc: FleetScenario, st: FleetState, u, solver_ok, ref_idx):
+        """Per-scenario post-solve work (u: (R, nu*N))."""
+        H = st.humans.shape[0]
         actions = u[:, :2]
         actions = jnp.where(actions[:, :1] < 0, 0.0, actions)  # no reverse
         robots_new = jax.vmap(lambda s, a: unicycle_step(s, a, ts))(
@@ -218,7 +207,13 @@ def build_fleet_sim(cfg: MpcConfiguration,
         dmat = jnp.where(jnp.eye(R, dtype=bool), jnp.inf, dmat)
         d_robot = jnp.min(dmat, axis=1) if R > 1 else jnp.full((R,), jnp.inf,
                                                                dtype)
-        collided_now = (d_humans <= HUMAN_SIZE) | (d_robot <= collide_dist)
+        # Static polygons — same harness semantics as build_batch_sim.
+        d_static = jax.vmap(lambda p: jnp.min(
+            polygon_edge_distances(sc.all_polys, p)))(robots_new[:, :2])
+        inside_static = jax.vmap(lambda p: point_in_any_quad(
+            p, sc.all_polys))(robots_new[:, :2])
+        collided_now = ((d_humans <= HUMAN_SIZE) | (d_robot <= collide_dist)
+                        | inside_static)
 
         dist_goal = jnp.linalg.norm(robots_new[:, :2] - sc.goals[:, :2],
                                     axis=-1)
@@ -240,14 +235,18 @@ def build_fleet_sim(cfg: MpcConfiguration,
             min_inter=jnp.minimum(st.min_inter, jnp.min(dmat)),
             min_clearance=jnp.where(frozen, st.min_clearance,
                                     jnp.minimum(st.min_clearance, d_humans)),
+            min_static=jnp.where(frozen, st.min_static,
+                                 jnp.minimum(st.min_static, d_static)),
+            solver_fails=st.solver_fails
+            + jnp.where(frozen, 0, (~solver_ok).astype(jnp.int32)),
             humans=humans_new, human_wp=wp_new, human_hist=hist_new,
             rng=rng,
         )
         return st_new
 
-    def run_scenario(sc: FleetScenario, seed):
+    def init_state(sc: FleetScenario, seed) -> FleetState:
         H = sc.human_starts.shape[0]
-        st = FleetState(
+        return FleetState(
             robots=sc.robot_starts.astype(dtype),
             pred=jnp.broadcast_to(sc.robot_starts.astype(dtype)[:, None, :],
                                   (R, N, ns)),
@@ -257,6 +256,8 @@ def build_fleet_sim(cfg: MpcConfiguration,
             done=jnp.zeros((R,), bool), collided=jnp.zeros((R,), bool),
             min_inter=jnp.array(jnp.inf, dtype),
             min_clearance=jnp.full((R,), jnp.inf, dtype),
+            min_static=jnp.full((R,), jnp.inf, dtype),
+            solver_fails=jnp.zeros((R,), jnp.int32),
             humans=sc.human_starts.astype(dtype),
             human_wp=jnp.zeros((H,), jnp.int32),
             human_hist=jnp.broadcast_to(sc.human_starts.astype(dtype),
@@ -264,36 +265,41 @@ def build_fleet_sim(cfg: MpcConfiguration,
             rng=jax.random.PRNGKey(seed),
         )
 
-        if cold_solve_one is not None:
-            windows0, _ = jax.vmap(
-                lambda traj, length, idx, state: ref_window_select(
-                    traj, length, idx, state, N, cfg.action_steps)
-            )(sc.ref_trajs, sc.ref_lens, st.ref_idx, st.robots)
-            dyn0 = assemble_dyn_obstacles(st.humans,
-                                          predict_fn(st.human_hist),
-                                          cfg.Ndynobs, cfg.ndynobs, N, dtype)
-            params0 = jax.vmap(
-                lambda i, w: assemble_one(sc, st, i, w, dyn0)
-            )(jnp.arange(R), windows0)
-            st = st._replace(u_warm=jax.vmap(cold_solve_one)(params0,
-                                                             st.u_warm))
-
-        def body(st, _):
-            st2 = fleet_step(sc, st)
-            return st2, jnp.all(st2.done | st2.collided)
-
-        st, finished = jax.lax.scan(body, st, jnp.arange(n_steps))
-        return st, jnp.sum(~finished)
+    def flat_solve(P, U0, solver):
+        """Flatten the (B, R) solve lanes into one batch for the ladder."""
+        B = U0.shape[0]
+        Pf = jax.tree.map(lambda x: x.reshape((B * R,) + x.shape[2:]), P)
+        res = solver(Pf, U0.reshape(B * R, -1))
+        return (res.u.reshape(B, R, -1),
+                res.converged.reshape(B, R))
 
     @jax.jit
     def run(batch: FleetScenario, seeds: jnp.ndarray) -> FleetResult:
-        st, steps = jax.vmap(run_scenario)(batch, seeds)
+        st = jax.vmap(init_state)(batch, seeds)
+
+        if cold_solve_one is not None:
+            P0, _ = jax.vmap(assemble_step)(batch, st)
+            u0, _ = flat_solve(P0, st.u_warm,
+                               lambda Pf, Uf: jax.vmap(cold_solve_one)(Pf,
+                                                                       Uf))
+            st = st._replace(u_warm=u0)
+
+        def body(st, _):
+            P, ref_idx = jax.vmap(assemble_step)(batch, st)
+            u, ok = flat_solve(P, st.u_warm, solve_batch)
+            st2 = jax.vmap(apply_step)(batch, st, u, ok, ref_idx)
+            return st2, jnp.all(st2.done | st2.collided, axis=1)
+
+        st, finished = jax.lax.scan(body, st, None, length=n_steps)
+        steps_used = jnp.sum(~finished, axis=0)
         return FleetResult(
             success=jnp.all(st.done, axis=1) & ~jnp.any(st.collided, axis=1),
             done=st.done, collided=st.collided,
             min_inter_robot=st.min_inter,
             min_clearance=st.min_clearance,
-            final_states=st.robots, steps_used=steps,
+            final_states=st.robots, steps_used=steps_used,
+            min_static_clearance=st.min_static,
+            solver_fail_steps=st.solver_fails,
         )
 
     return run

@@ -113,6 +113,10 @@ class MainBase:
         self.deviation_results: List[list] = []
         self.solve_time_list: List[float] = []
         self.solver_status_list: List[str] = []
+        # Per-run triage breakdown (additive over the reference's lumped
+        # fail flag): outcome type, steps used, and how often the tracker's
+        # distress escalation fired.
+        self.outcome_results: List[dict] = []
 
     def _load_map(self):
         mi = MapInterface(self.data_dir)
@@ -340,6 +344,16 @@ class MainBase:
             self.collision_results.append(True)     # timeout counts as failure
 
         if self.eval:
+            tracker = tracker_interface.traj_tracker
+            self.outcome_results.append({
+                "outcome": ("collision" if collision
+                            else "success" if complete else "timeout"),
+                "steps": kt + 1,
+                "escalations": getattr(tracker, "escalation_count", 0),
+                "bad_statuses": sum(
+                    s != "Converged" for s in getattr(
+                        tracker, "solver_status_timelist", [])),
+            })
             # Per-step solver exit statuses (MPC tracker only) — surfaces
             # the PRODUCTION convergence rate (multistart + distress
             # escalation) alongside the eval metrics.
@@ -386,6 +400,7 @@ class MainBase:
             "success_rate": float(
                 (len(self.collision_results) - sum(self.collision_results))
                 / len(self.collision_results)),
+            "outcomes": self.outcome_results,
         }
         if self.smoothness_results:
             out["smoothness_mean"] = np.mean(

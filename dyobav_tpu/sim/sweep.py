@@ -112,18 +112,26 @@ def main(argv=None) -> int:
             B = res.success.shape[0]
             valid = jnp.arange(B) < true_n
             coll = res.collided
+            static_clear = res.min_static_clearance
+            fails = res.solver_fail_steps
             if coll.ndim > 1:                 # fleet: per-robot flags
                 coll = coll.any(axis=1)
+                static_clear = static_clear.min(axis=1)
+                fails = fails.sum(axis=1)
             finite = jnp.isfinite(res.min_clearance) & valid
+            finite_s = jnp.isfinite(static_clear) & valid
             return (
                 jnp.sum(jnp.where(valid, res.success, False)) / true_n,
                 jnp.sum(jnp.where(valid, coll, False)) / true_n,
                 jnp.sum(jnp.where(finite, res.min_clearance, 0.0))
                 / jnp.maximum(jnp.sum(finite), 1),
+                jnp.sum(jnp.where(finite_s, static_clear, 0.0))
+                / jnp.maximum(jnp.sum(finite_s), 1),
+                jnp.sum(jnp.where(valid, fails, 0)) / true_n,
                 jnp.sum(jnp.where(valid, res.steps_used, 0)) / true_n,
             )
 
-        succ_m, coll_m, clear_m, steps_m = (
+        succ_m, coll_m, clear_m, sclear_m, fails_m, steps_m = (
             float(x) for x in reduce_global(res))
         out = {
             "n_scenarios": true_n,
@@ -134,6 +142,8 @@ def main(argv=None) -> int:
             "collision_rate": coll_m,
             "timeout_rate": float(1.0 - succ_m - coll_m),
             "min_clearance_mean": clear_m,
+            "min_static_clearance_mean": sclear_m,
+            "solver_fail_steps_mean": fails_m,
             "steps_used_mean": steps_m,
             "wall_s_first": round(first, 2),
             "wall_s_steady": round(steady, 2),
@@ -147,9 +157,13 @@ def main(argv=None) -> int:
     success = np.asarray(res.success)[:true_n]
     collided = np.asarray(res.collided)[:true_n]
     clearance = np.asarray(res.min_clearance)[:true_n]
+    static_clear = np.asarray(res.min_static_clearance)[:true_n]
+    fail_steps = np.asarray(res.solver_fail_steps)[:true_n]
     steps_used = np.asarray(res.steps_used)[:true_n]
     if collided.ndim > 1:                     # fleet: per-robot flags
         collided = collided.any(axis=1)
+        static_clear = static_clear.min(axis=1)
+        fail_steps = fail_steps.sum(axis=1)
 
     out = {
         "n_scenarios": true_n,
@@ -160,6 +174,10 @@ def main(argv=None) -> int:
         "timeout_rate": float(1.0 - success.mean() - collided.mean()),
         "min_clearance_mean": float(clearance[np.isfinite(clearance)].mean())
         if np.isfinite(clearance).any() else None,
+        "min_static_clearance_mean": float(
+            static_clear[np.isfinite(static_clear)].mean())
+        if np.isfinite(static_clear).any() else None,
+        "solver_fail_steps_mean": float(fail_steps.mean()),
         "steps_used_mean": float(steps_used.mean()),
         "wall_s_first": round(first, 2),
         "wall_s_steady": round(steady, 2),

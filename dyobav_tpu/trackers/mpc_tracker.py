@@ -111,6 +111,7 @@ class TrajectoryTracker:
         self.idx_ref_path = 0
         self.idle = False
         self._last_u = None
+        self.escalation_count = 0   # distress escalations this episode
         if self.use_multistart:
             self._warmup()
 
@@ -334,6 +335,7 @@ class TrajectoryTracker:
             distress = (best != 0) or bool(np.max(infeas) > infeas_bar) or \
                 not bool(sols.exit_ok[best])
             if distress and self.cold_bundle is not bundle:
+                self.escalation_count += 1
                 sols = jax.device_get(
                     self.cold_bundle.solve_batch(zb, jnp.asarray(guesses)))
                 infeas = np.asarray(sols.infeasibility)

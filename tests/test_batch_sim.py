@@ -18,8 +18,14 @@ pytestmark = pytest.mark.skipif(
     not os.path.exists(os.path.join(DATA, "mymap.pgm")),
     reason="warehouse data not imported")
 
+# Cheap warm profile + a cheap single-stage ladder: the in-scan
+# escalation/gather/merge path stays exercised (it is the new sharding-
+# sensitive code) without the production deep+strong budgets that would
+# dominate CPU test time.
 FAST = SolverConfiguration(max_inner_iters=8, max_outer_iters=2,
-                           inner_iters_later=4)
+                           inner_iters_later=4,
+                           escalation_ladder=((4, 2, 2, 1, 10.0),),
+                           escalation_slots=(4,))
 
 
 def test_batched_sim_sharded_progress():

@@ -79,6 +79,34 @@ def test_escalated_without_cold_profile_is_absent():
     assert bundle.solve_batch_escalated is None
 
 
+def test_cold_safety_warning():
+    """A pre-escalated warm profile with NO cold path is the one unsafe
+    direct-engine configuration (warm-profile cold exit_ok ~0.42,
+    BENCH_r03): building such a bundle must warn once; safe configs must
+    stay silent (VERDICT r3 weak #6)."""
+    import warnings
+
+    import pytest
+
+    from dyobav_tpu.ops import engine
+
+    engine._COLD_WARNED = False
+    bad = SolverConfiguration(cold_profile=None, lbfgs_memory=9)  # fresh key
+    with pytest.warns(UserWarning, match="cold"):
+        build_mpc_solver(CFG, ROBOT, bad)
+    # Default config (cold_profile set) and from-scratch penalty ramps
+    # (strong/deep semantics) build silently.
+    engine._COLD_WARNED = False
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        build_mpc_solver(CFG, ROBOT,
+                         SolverConfiguration(lbfgs_memory=9))
+        build_mpc_solver(CFG, ROBOT,
+                         SolverConfiguration(cold_profile=None,
+                                             initial_penalty=10.0,
+                                             lbfgs_memory=9))
+
+
 def test_tracker_distress_escalation_fires():
     """A landscape-shift step (obstacle newly blocking the warm basin)
     must trigger the deep re-solve and return a feasible control."""

@@ -15,8 +15,14 @@ from dyobav_tpu.configs import (CircularRobotSpecification, MpcConfiguration,
 from dyobav_tpu.sim.fleet import FleetScenario, build_fleet_sim
 from dyobav_tpu.sim.scenarios import synthetic_fleet_scenario
 
+# Cheap warm profile + a cheap single-stage ladder: the in-scan
+# escalation/gather/merge path stays exercised (it is the new sharding-
+# sensitive code) without the production deep+strong budgets that would
+# dominate CPU test time.
 FAST = SolverConfiguration(max_inner_iters=8, max_outer_iters=2,
-                           inner_iters_later=4)
+                           inner_iters_later=4,
+                           escalation_ladder=((4, 2, 2, 1, 10.0),),
+                           escalation_slots=(4,))
 
 
 def _head_on_scenario(lateral: float = 0.2):

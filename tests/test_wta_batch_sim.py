@@ -54,7 +54,9 @@ def test_neural_batched_closed_loop():
 
     # Two-scenario batched closed loop with the neural predictor.
     scfg = SolverConfiguration(max_inner_iters=6, max_outer_iters=2,
-                               inner_iters_later=3)
+                               inner_iters_later=3,
+                               escalation_ladder=((4, 2, 2, 1, 10.0),),
+                               escalation_slots=(4,))
     run = build_batch_sim(base.config_mpc, base.config_robot, scfg,
                           n_steps=2, predictor=pred)
     batch = Scenario(*[jnp.stack([x] * 2) for x in sc])
