@@ -285,6 +285,7 @@ def bench_full_step(iters: int) -> int:
     import json
     import time
 
+    import jax
     import jax.numpy as jnp
 
     from dyobav_tpu.configs import SolverConfiguration, WtaNetConfiguration
@@ -320,19 +321,48 @@ def bench_full_step(iters: int) -> int:
     seeds = jnp.arange(1)
     run(batch, seeds).final_state.block_until_ready()   # compile
 
+    # (a) End-to-end latency: block on every call — includes host dispatch
+    # and (on the tunneled remote TPU of this container) a full RPC round
+    # trip per step.  This is the deployment-shaped number.
+    n_lat = max(iters, 20)
     lat = []
-    for _ in range(max(iters, 20)):
+    for _ in range(n_lat):
         t0 = time.perf_counter()
         run(batch, seeds).final_state.block_until_ready()
         lat.append(time.perf_counter() - t0)
     lat.sort()
+    p50 = lat[len(lat) // 2]
     p95 = lat[int(0.95 * (len(lat) - 1))]
-    print(json.dumps({
+
+    # (b) Device-bound amortized time: dispatch K steps back-to-back and
+    # block once.  JAX's async dispatch pipelines the host/RPC overhead
+    # behind device execution, so total/K approximates pure on-device step
+    # time; p50(a) - (b) is the per-step dispatch/RPC overhead.
+    K = 20
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(K):
+        out = run(batch, seeds)
+    out.final_state.block_until_ready()
+    amortized = (time.perf_counter() - t0) / K
+
+    result = {
         "metric": "control_step_latency_p95",
         "value": round(p95 * 1000, 2),
         "unit": "ms",
         "vs_baseline": round(200.0 / (p95 * 1000), 1),  # vs 0.2 s budget
-    }))
+        "p50_ms": round(p50 * 1000, 2),
+        "device_amortized_ms": round(amortized * 1000, 2),
+        "dispatch_overhead_ms": round((p50 - amortized) * 1000, 2),
+        "n": n_lat,
+        "ckpt": os.path.basename(ckpt),
+        "platform": jax.devices()[0].platform,
+    }
+    print(json.dumps(result))
+    out_path = os.environ.get("BENCH_STEP_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
     return 0
 
 

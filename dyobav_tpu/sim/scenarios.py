@@ -208,40 +208,59 @@ def build_fleet_scenario(base: MainBase,
     )
 
 
+def _random_id_walk(rng, net_graph, length: int,
+                    max_turn_deg: float | None = None) -> list:
+    """Random non-revisiting graph walk; with `max_turn_deg`, successive
+    segments may turn by at most that angle.  Warehouse schedules command
+    forward-progress routes, and near-reversal turns are kinematically
+    untrackable for the unicycle (ang_vel_max 0.5 rad/s): every persistent
+    random-sweep timeout traced to a 132-160° commanded turn while
+    successful lanes max out at ~117° (docs/eval_triage_r4.md §1)."""
+    nodes = list(net_graph.nodes)
+    coord = lambda i: np.asarray(net_graph.get_node_coord(i), np.float64)
+    ids = [rng.choice(nodes)]
+    while len(ids) <= length:
+        nbrs = [x for x in net_graph.adj[ids[-1]] if x not in ids]
+        if max_turn_deg is not None and len(ids) >= 2:
+            v1 = coord(ids[-1]) - coord(ids[-2])
+
+            def turn_ok(nid):
+                v2 = coord(nid) - coord(ids[-1])
+                denom = max(float(np.linalg.norm(v1) * np.linalg.norm(v2)),
+                            1e-9)
+                c = float(np.dot(v1, v2)) / denom
+                return math.degrees(math.acos(min(1.0, max(-1.0, c)))) \
+                    <= max_turn_deg
+            nbrs = [x for x in nbrs if turn_ok(x)]
+        if not nbrs:
+            break
+        ids.append(rng.choice(nbrs))
+    return ids
+
+
 def random_scenarios(base: MainBase, n: int, n_humans: int = 1,
                      seed: int = 0, min_path_nodes: int = 2,
-                     walk_len: int = 3, **kw) -> Scenario:
+                     walk_len: int = 3, max_turn_deg: float = 120.0,
+                     **kw) -> Scenario:
     """A batch of randomized (start, goal, pedestrian) scenarios stacked
-    into one Scenario pytree with a leading batch axis."""
+    into one Scenario pytree with a leading batch axis.
+
+    Robot walks are turn-limited to `max_turn_deg` (None disables);
+    pedestrian walks are unconstrained (omnidirectional model)."""
     rng = random.Random(seed)
     nodes = list(base.net_graph.nodes)
-
-    def random_id_walk(length: int) -> list:
-        ids = [rng.choice(nodes)]
-        while len(ids) <= length:
-            nbrs = [x for x in base.net_graph.adj[ids[-1]] if x not in ids]
-            if not nbrs:
-                break
-            ids.append(rng.choice(nbrs))
-        return ids
 
     scenarios = []
     attempts = 0
     while len(scenarios) < n and attempts < 20 * n:
         attempts += 1
-        r_ids = random_id_walk(walk_len)
+        r_ids = _random_id_walk(rng, base.net_graph, walk_len, max_turn_deg)
         if len(r_ids) < max(2, min_path_nodes):
             continue
         h_paths = []
         h_starts = []
         for _ in range(n_humans):
-            h_ids = [rng.choice(nodes)]
-            while len(h_ids) <= walk_len:
-                nbrs = [x for x in base.net_graph.adj[h_ids[-1]]
-                        if x not in h_ids]
-                if not nbrs:
-                    break
-                h_ids.append(rng.choice(nbrs))
+            h_ids = _random_id_walk(rng, base.net_graph, walk_len)
             h_paths.append(h_ids)
             x, y = base.net_graph.get_node_coord(h_ids[0])
             h_starts.append(np.array(base.ct2real([x, y]))[:2])
@@ -262,32 +281,25 @@ def random_scenarios(base: MainBase, n: int, n_humans: int = 1,
 
 def random_fleet_scenarios(base: MainBase, n: int, n_robots: int = 2,
                            n_humans: int = 0, seed: int = 0,
-                           walk_len: int = 3, **kw) -> FleetScenario:
+                           walk_len: int = 3, max_turn_deg: float = 120.0,
+                           **kw) -> FleetScenario:
     """A batch of randomized R-robot fleet scenarios (stacked FleetScenario
-    pytree): each robot gets an independent random graph walk; robot starts
-    face their first path segment."""
+    pytree): each robot gets an independent turn-limited random graph walk
+    (see `_random_id_walk`); robot starts face their first path segment."""
     rng = random.Random(seed)
     nodes = list(base.net_graph.nodes)
-
-    def random_id_walk() -> list:
-        ids = [rng.choice(nodes)]
-        while len(ids) <= walk_len:
-            nbrs = [x for x in base.net_graph.adj[ids[-1]] if x not in ids]
-            if not nbrs:
-                break
-            ids.append(rng.choice(nbrs))
-        return ids
 
     scenarios = []
     attempts = 0
     while len(scenarios) < n and attempts < 40 * n:
         attempts += 1
-        walks = [random_id_walk() for _ in range(n_robots)]
+        walks = [_random_id_walk(rng, base.net_graph, walk_len, max_turn_deg)
+                 for _ in range(n_robots)]
         if any(len(w) < 2 for w in walks):
             continue
         h_paths, h_starts = [], []
         for _ in range(n_humans):
-            h_ids = random_id_walk()
+            h_ids = _random_id_walk(rng, base.net_graph, walk_len)
             h_paths.append(h_ids)
             x, y = base.net_graph.get_node_coord(h_ids[0])
             h_starts.append(np.array(base.ct2real([x, y]))[:2])
