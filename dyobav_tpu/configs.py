@@ -294,7 +294,8 @@ class SolverConfiguration:
                                     # BENCH_WARM_STEPS=0).
     escalation_ladder: Any = None
                                     # Stage profiles (inner, outer, later,
-                                    # substeps[, penalty]) for the
+                                    # substeps[, penalty[, from_iterate]])
+                                    # for the
                                     # escalated batch path; None = the
                                     # default (cold_profile, then the
                                     # OpEn-default strong budget).  The

@@ -194,19 +194,28 @@ def _build_mpc_solver_uncached(
         ladder = (list(tuple(p) for p in scfg.escalation_ladder)
                   if scfg.escalation_ladder
                   else [tuple(scfg.cold_profile), (30, 10, 10, 1, 10.0)])
-        stages = [_make_stage(p) for p in ladder]
+        # Optional 6th profile element: from_iterate.  Truthy → the stage
+        # CONTINUES from the failing lane's returned iterate instead of
+        # re-solving from the original guess.  75% of warm-profile failures
+        # are pure iteration truncation (docs/triage_tail_r3_b1024.json),
+        # for which resuming costs a fraction of a from-scratch deep solve
+        # (the ALM multiplier/penalty state restarts at the stage's
+        # initial_penalty — keep it pre-escalated for continuation stages).
+        stages = [_make_stage(p[:5]) for p in ladder]
+        from_iterate = [bool(p[5]) if len(p) > 5 else False for p in ladder]
         divisors = tuple(scfg.escalation_slots)
         if len(divisors) < len(stages):     # pad: later stages reuse last
             divisors = divisors + (divisors[-1],) * (len(stages)
                                                      - len(divisors))
 
-        def _run_stage(stage, K, Z, U0, sol) -> MpcSolve:
+        def _run_stage(stage, K, Z, U0, sol, cont: bool) -> MpcSolve:
             B = Z.shape[0]
             fail = jnp.logical_not(sol.exit_ok)
             # Static-size gather of failing lanes (extras beyond K stay
             # unescalated; fill slots re-solve lane 0 harmlessly).
             idx = jnp.nonzero(fail, size=K, fill_value=0)[0]
-            deep = jax.vmap(stage)(Z[idx], U0[idx])
+            u_start = sol.u[idx] if cont else U0[idx]
+            deep = jax.vmap(stage)(Z[idx], u_start)
             # Gather-only merge (scatter with fill-duplicated indices
             # has undefined write order): lane b's escalation slot is
             # its rank among failing lanes; take the deep result where
@@ -234,7 +243,7 @@ def _build_mpc_solver_uncached(
                                    ) -> MpcSolve:
             B = Z.shape[0]
             sol = jax.vmap(_solve_one)(Z, U0)
-            for stage, div in zip(stages, divisors):
+            for stage, div, cont in zip(stages, divisors, from_iterate):
                 # Slot floor: at small batches the divisor rule would leave
                 # most failing lanes unescalated (B=8 → 0-1 slots); 8 slots
                 # cost nothing at that scale.
@@ -245,8 +254,8 @@ def _build_mpc_solver_uncached(
                 # common case for warm in-scan solves at sim batch sizes.
                 sol = jax.lax.cond(
                     jnp.any(jnp.logical_not(sol.exit_ok)),
-                    lambda s, stage=stage, K=K: _run_stage(stage, K, Z, U0,
-                                                           s),
+                    lambda s, stage=stage, K=K, cont=cont: _run_stage(
+                        stage, K, Z, U0, s, cont),
                     lambda s: s,
                     sol)
             return sol

@@ -73,6 +73,24 @@ def test_escalated_recovers_tail_and_preserves_converged():
     assert float(jnp.max(gap)) <= 1e-3
 
 
+def test_continuation_stage_recovers_truncation_tail():
+    """A from_iterate ladder stage (6th profile element) resumes failing
+    lanes from their returned iterate: for truncation failures — 75% of the
+    warm profile's tail (docs/triage_tail_r3_b1024.json) — this recovers
+    convergence at a fraction of a from-scratch deep solve."""
+    scfg = dataclasses.replace(
+        SCFG, escalation_ladder=((3, 2, 2, 3, 1250.0, 1),))
+    bundle = build_mpc_solver(CFG, ROBOT, scfg)
+    Z, U0 = _problem_batch()
+    raw = bundle.solve_batch(Z, U0)
+    esc = bundle.solve_batch_escalated(Z, U0)
+    assert float(jnp.mean(raw.exit_ok)) < 1.0
+    assert float(jnp.mean(esc.exit_ok)) > float(jnp.mean(raw.exit_ok))
+    # Converged lanes untouched.
+    touched = jnp.where(raw.exit_ok[:, None], jnp.abs(esc.u - raw.u), 0.0)
+    assert float(jnp.max(touched)) == 0.0
+
+
 def test_escalated_without_cold_profile_is_absent():
     scfg = dataclasses.replace(SCFG, cold_profile=None)
     bundle = build_mpc_solver(CFG, ROBOT, scfg)
