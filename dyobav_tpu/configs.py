@@ -292,29 +292,47 @@ class SolverConfiguration:
                                     # convergence at 3,608 solves/s
                                     # (BENCH_CUSTOM=12,6,5,1,10
                                     # BENCH_WARM_STEPS=0).
-    escalation_ladder: Any = None
+    escalation_ladder: Any = ((6, 10, 5, 2, 10.0),)
                                     # Stage profiles (inner, outer, later,
                                     # substeps[, penalty[, from_iterate]])
-                                    # for the
-                                    # escalated batch path; None = the
-                                    # default (cold_profile, then the
-                                    # OpEn-default strong budget).  The
-                                    # stages run sequentially on the
-                                    # still-failing tail, so their
-                                    # SEQUENTIAL iteration count is what
-                                    # each stage costs at small slot
-                                    # counts (latency-bound on TPU).
-    escalation_slots: Any = (32, 128)
+                                    # for the escalated batch path; None =
+                                    # (cold_profile, then the OpEn-default
+                                    # strong budget).  Stages run
+                                    # sequentially on the still-failing
+                                    # tail, so their SEQUENTIAL Hessian-
+                                    # refresh count is what a stage costs
+                                    # at small slot counts (latency-bound:
+                                    # ~0.35 ms/refresh at 1 substep,
+                                    # ~0.52 ms at 3, measured at 32 slots
+                                    # on v5e).  The default single stage —
+                                    # 51 refreshes × 2 substeps with the
+                                    # full 10-outer-stage penalty ramp
+                                    # from 10 — is the measured knee of
+                                    # the r4 frontier: 15,007 solves/s at
+                                    # exit_ok 0.991 (B=1024, one chip) vs
+                                    # 13.1k@0.992 (62 refreshes × 3 sub),
+                                    # 15.1k@0.988 (42 × 3), 11.7k@0.991
+                                    # (the 120-refresh strong stage), and
+                                    # 9.9-10.2k@0.995-6 (two-stage
+                                    # ladders).  From-scratch penalty
+                                    # ramps are what recover the tail:
+                                    # continuation at the pre-escalated
+                                    # warm penalty recovers almost nothing
+                                    # (20.5k@0.977, /tmp ladder sweep r4).
+    escalation_slots: Any = (32,)
                                     # Per-stage slot DIVISORS for the
                                     # escalated batch path: ladder stage i
-                                    # re-solves up to max(B // slots[i], 1)
+                                    # re-solves up to max(B // slots[i], 8)
                                     # failed lanes (engine.
-                                    # solve_batch_escalated).  Sized to the
-                                    # measured failure tail at B=1024
-                                    # (raw-profile fail ~2.4% ≈ 25 lanes →
-                                    # B/32 = 32 deep slots; post-deep fail
-                                    # ~25% of those ≈ 6 → B/128 = 8 strong
-                                    # slots; docs/triage_tail_r3_b1024.json).
+                                    # solve_batch_escalated).  B/32 = 32
+                                    # slots at B=1024 covers the measured
+                                    # warm-profile failure tail (~2.4% ≈
+                                    # 25 lanes, docs/triage_tail_r3_b1024
+                                    # .json); the stage is latency-bound,
+                                    # so slot count barely moves its cost
+                                    # — starving it (8 slots at divisor
+                                    # 128) is what dropped exit_ok to
+                                    # 0.984-0.985 in early r4 runs.
                                     # Stages are lax.cond-gated on any-fail
                                     # so a fully-converged batch pays
                                     # nothing.

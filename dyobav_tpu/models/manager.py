@@ -467,12 +467,27 @@ class NetworkManager:
         ckptr.wait_until_finished()
 
     def load_checkpoint(self, path: str):
-        import orbax.checkpoint as ocp
+        """Restore weights from an orbax directory, or — when `path` is a
+        `.pt`/`.pth` file — from a reference-format torch state_dict via
+        `models.port.torch_to_flax` (the reference loads the same artifact
+        with `load_state_dict`, network_manager.py:102-115).  Lets every
+        consumer (mmp predictor, eval entry, bench) run a reference-trained
+        torch checkpoint directly."""
         if self.state is None:
             self.build_network()
-        ckptr = ocp.StandardCheckpointer()
-        target = {"params": self.state.params,
-                  "batch_stats": self.state.batch_stats}
-        restored = ckptr.restore(os.path.abspath(path), target)
+        if path.endswith((".pt", ".pth")):
+            import jax.numpy as jnp
+
+            from .port import load_torch_checkpoint
+            restored = load_torch_checkpoint(
+                path, lite=self.config.lite if hasattr(
+                    self.config, "lite") else True)
+            restored = jax.tree_util.tree_map(jnp.asarray, restored)
+        else:
+            import orbax.checkpoint as ocp
+            ckptr = ocp.StandardCheckpointer()
+            target = {"params": self.state.params,
+                      "batch_stats": self.state.batch_stats}
+            restored = ckptr.restore(os.path.abspath(path), target)
         self.state = self.state.replace(params=restored["params"],
                                         batch_stats=restored["batch_stats"])

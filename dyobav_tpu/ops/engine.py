@@ -153,14 +153,16 @@ def _build_mpc_solver_uncached(
     # Escalated batch solve — the PRODUCTION semantics at scale: every lane
     # gets the warm profile; lanes that fail the convergence test are
     # gathered (static tail slots, zero-padded), re-solved from their
-    # original guesses with an escalation LADDER of budgets — cold_profile
-    # (deep) first, then the OpEn-default strong budget for the lanes deep
-    # still misses — and scattered back where the re-solve converged.
+    # original guesses with an escalation LADDER of budgets
+    # (scfg.escalation_ladder; default one 51-refresh 2-substep stage with
+    # the full 10-outer penalty ramp — the measured r4 frontier knee, see
+    # configs.py) and merged back where the re-solve converged.
     # Mirrors the tracker's distress escalation (trackers/mpc_tracker.py)
     # in one jitted program.  Measured basis: 75% of the chord profile's
     # non-converged bench lanes converge under a stronger budget
-    # (docs/triage_tail_r3_b1024.json); the per-stage slot shrink keeps the
-    # amortized cost ~15-20% of the warm solve.
+    # (docs/triage_tail_r3_b1024.json); a from-scratch penalty ramp is
+    # what recovers them — continuation at the pre-escalated warm penalty
+    # recovers almost nothing (r4 ladder sweep).
     solve_batch_escalated = None
     if scfg.cold_profile:
         import dataclasses

@@ -184,6 +184,9 @@ class SimState(NamedTuple):
     done: jnp.ndarray           # () bool — reached goal
     collided: jnp.ndarray       # () bool (human proximity OR inside a
                                 #   static polygon, harness semantics)
+    collided_static: jnp.ndarray  # () bool — the static cause specifically
+                                #   (triage: collided & ~collided_static
+                                #   is a pedestrian-proximity collision)
     min_clearance: jnp.ndarray  # () min human distance so far
     min_static: jnp.ndarray     # () min static-boundary distance so far
     solver_fails: jnp.ndarray   # () int32: steps whose merged solve stayed
@@ -194,6 +197,7 @@ class SimState(NamedTuple):
 class BatchResult(NamedTuple):
     success: jnp.ndarray        # (B,) reached goal without collision
     collided: jnp.ndarray       # (B,)
+    collided_static: jnp.ndarray  # (B,) collision cause was a static polygon
     min_clearance: jnp.ndarray  # (B,) vs pedestrians
     final_state: jnp.ndarray    # (B, 3)
     steps_used: jnp.ndarray     # (B,)
@@ -281,7 +285,77 @@ def build_lane_solvers(cfg: MpcConfiguration,
                                run_stage, lambda r: r, res)
         return res
 
-    return solve_warm, cold_solve, solve_batch
+    # ---- multistart + distress escalation: the TRACKER's decision rule
+    # (trackers/mpc_tracker.py:236-260, 309-347) as one batched program.
+    # Five candidates per lane (shifted warm start, brake ramp, zeros,
+    # swerve left/right), feasibility-gated argmin, and a lax.cond-gated
+    # cold-budget re-solve of every distressed lane's full candidate set.
+    # Budget-only escalation of the single warm guess (solve_batch above)
+    # cannot hop basins: when a pedestrian prediction newly blocks the warm
+    # basin the lane stays committed and gets pushed off-path (measured:
+    # 4/10 scenario-0 lanes statically collide at the same corner without
+    # this; the harness tracker with multistart keeps static clearance).
+    N = cfg.N_hor
+    nu = cfg.nu
+    base_speed = robot_cfg.lin_vel_max * 0.8
+    swerve_w = 0.6 * robot_cfg.ang_vel_max
+    infeas_bar = scfg.multistart_infeas_factor * scfg.constraint_tol
+    G = 5
+
+    def make_guesses(u_warm, u_prev):
+        ramp = jnp.linspace(u_prev[0], 0.0, N).astype(dtype)
+        brake = jnp.stack([ramp, jnp.zeros(N, dtype)], axis=1).reshape(-1)
+        arcs = [jnp.stack([jnp.full(N, base_speed, dtype),
+                           jnp.full(N, sgn * swerve_w, dtype)],
+                          axis=1).reshape(-1)
+                for sgn in (1.0, -1.0)]
+        return jnp.stack([u_warm, brake, jnp.zeros(nu * N, dtype), *arcs])
+
+    def _best_of(res_g, B):
+        """(B, G) candidate results -> per-lane feasibility-gated best."""
+        score = res_g.cost + 1e6 * (res_g.infeasibility > infeas_bar)
+        best = jnp.argmin(score, axis=1)
+        sel = jax.tree.map(lambda x: x[jnp.arange(B), best], res_g)
+        return sel, best
+
+    def solve_batch_multistart(P: MpcParams, U0: jnp.ndarray,
+                               Uprev: jnp.ndarray):
+        B = U0.shape[0]
+        GU = jax.vmap(make_guesses)(U0, Uprev)            # (B, G, nu*N)
+        Pg = jax.tree.map(lambda x: jnp.repeat(x, G, axis=0), P)
+        res = jax.vmap(solve_warm)(Pg, GU.reshape(B * G, -1))
+        res_g = jax.tree.map(
+            lambda x: x.reshape((B, G) + x.shape[1:]), res)
+        sel, best = _best_of(res_g, B)
+        distress = ((best != 0)
+                    | (jnp.max(res_g.infeasibility, axis=1) > infeas_bar)
+                    | jnp.logical_not(sel.converged))
+        if cold_solve is None:
+            return sel
+        K = max(B // 2, min(B, 8), 1)
+
+        def run_cold(cur):
+            idx = jnp.nonzero(distress, size=K, fill_value=0)[0]
+            Pk = jax.tree.map(lambda x: jnp.repeat(x[idx], G, axis=0), P)
+            cres = jax.vmap(cold_solve)(Pk, GU[idx].reshape(K * G, -1))
+            cres_g = jax.tree.map(
+                lambda x: x.reshape((K, G) + x.shape[1:]), cres)
+            csel, _ = _best_of(cres_g, K)
+            # The tracker replaces the solution with the cold-budget best
+            # unconditionally on distress (mpc_tracker.py:338-346).
+            rank = jnp.cumsum(distress) - 1
+            slot = jnp.clip(rank, 0, K - 1)
+            take = distress & (rank < K)
+
+            def merge(old, new):
+                mask = take.reshape((B,) + (1,) * (new.ndim - 1))
+                return jnp.where(mask, new[slot], old)
+
+            return jax.tree.map(merge, cur, csel)
+
+        return jax.lax.cond(jnp.any(distress), run_cold, lambda c: c, sel)
+
+    return solve_warm, cold_solve, solve_batch, solve_batch_multistart
 
 
 def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification,
@@ -289,6 +363,7 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
                     n_humans: int = 1, human_vmax: float = 1.5,
                     human_stagger: float = 0.5, n_steps: int = 120,
                     predictor=None, escalate: bool = True,
+                    multistart: bool = True, record_traj: bool = False,
                     dtype=jnp.float32):
     """Returns run(batch: Scenario[B], seed) -> BatchResult — fully jitted.
 
@@ -313,6 +388,11 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
     version — BASELINE config #3 at scenario-batch scale.
     escalate: False opts out of the in-scan ladder (warm profile only; the
     cold pre-solve keeps running) — mostly for A/B measurement.
+    multistart: True (default) runs the tracker's full per-step decision
+    rule in-graph — 5-candidate multistart with feasibility-gated argmin
+    and cold-budget re-solve of distressed lanes (see
+    `solve_batch_multistart`); False falls back to budget-only escalation
+    of the single warm guess.
     """
     scfg = solver_cfg or SolverConfiguration()
     N = cfg.N_hor
@@ -326,7 +406,7 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
     # have.  When cold_profile is set, the step-0 problem is pre-solved
     # once with the escalated budget and its solution seeds the scan's
     # warm-start carry — the in-scan step-0 solve then just refines it.
-    _, cold_solve_one, solve_batch = build_lane_solvers(
+    _, cold_solve_one, solve_batch, solve_batch_ms = build_lane_solvers(
         cfg, robot_cfg, scfg, escalate=escalate, dtype=dtype)
 
     def ref_window(ref_traj, ref_len, ref_idx, state):
@@ -398,6 +478,7 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
             ref_idx=keep(ref_idx, st.ref_idx),
             done=st.done | (done_now & ~frozen),
             collided=st.collided | (collided_now & ~frozen),
+            collided_static=st.collided_static | (inside_static & ~frozen),
             min_clearance=jnp.where(frozen, st.min_clearance,
                                     jnp.minimum(st.min_clearance, d_humans)),
             min_static=jnp.where(frozen, st.min_static,
@@ -420,6 +501,7 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
             u_warm=jnp.tile(jnp.array([base_speed, 0.0], dtype), N),
             ref_idx=jnp.array(0, jnp.int32),
             done=jnp.array(False), collided=jnp.array(False),
+            collided_static=jnp.array(False),
             min_clearance=jnp.array(jnp.inf, dtype),
             min_static=jnp.array(jnp.inf, dtype),
             solver_fails=jnp.array(0, jnp.int32),
@@ -437,16 +519,40 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
 
         def body(st, _):
             P, ref_idx = jax.vmap(assemble_step)(batch, st)
-            res = solve_batch(P, st.u_warm)
+            if multistart:
+                res = solve_batch_ms(P, st.u_warm, st.u_prev)
+            else:
+                res = solve_batch(P, st.u_warm)
             st2 = jax.vmap(apply_step)(batch, st, res.u, res.converged,
                                        ref_idx)
-            return st2, (st2.done | st2.collided)
+            out = (st2.done | st2.collided)
+            if record_traj:
+                out = (out, st2.robot, st2.humans)
+            return st2, out
 
-        st, done_hist = jax.lax.scan(body, st, None, length=n_steps)
+        st, ys = jax.lax.scan(body, st, None, length=n_steps)
+        if record_traj:
+            done_hist, traj, humans_traj = ys
+        else:
+            done_hist = ys
         steps_used = jnp.sum(~done_hist, axis=0)
+        if record_traj:
+            # (T, B, ...) step histories for plotting/triage; returned as a
+            # side tuple so BatchResult stays stable for existing callers.
+            return BatchResult(
+                success=st.done & ~st.collided,
+                collided=st.collided,
+                collided_static=st.collided_static,
+                min_clearance=st.min_clearance,
+                final_state=st.robot,
+                steps_used=steps_used,
+                min_static_clearance=st.min_static,
+                solver_fail_steps=st.solver_fails,
+            ), (traj, humans_traj)
         return BatchResult(
             success=st.done & ~st.collided,
             collided=st.collided,
+            collided_static=st.collided_static,
             min_clearance=st.min_clearance,
             final_state=st.robot,
             steps_used=steps_used,

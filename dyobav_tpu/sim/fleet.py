@@ -92,6 +92,7 @@ def build_fleet_sim(cfg: MpcConfiguration,
                     n_robots: int = 2, n_steps: int = 120,
                     human_vmax: float = 1.5, human_stagger: float = 0.5,
                     predictor=None, escalate: bool = True,
+                    multistart: bool = True,
                     dtype=jnp.float32):
     """Returns run(batch: FleetScenario[B], seeds) -> FleetResult (jitted).
 
@@ -129,7 +130,7 @@ def build_fleet_sim(cfg: MpcConfiguration,
     # the lax.cond-gated escalation ladder); the per-step ladder gathers
     # across ALL B*R lanes of the batch, which is why the episode loop is
     # a scan over time of a batch-level step (see build_batch_sim).
-    _, cold_solve_one, solve_batch = build_lane_solvers(
+    _, cold_solve_one, solve_batch, solve_batch_ms = build_lane_solvers(
         cfg, robot_cfg, scfg, escalate=escalate, dtype=dtype)
 
     predict_fn = (predictor if predictor is not None
@@ -286,7 +287,18 @@ def build_fleet_sim(cfg: MpcConfiguration,
 
         def body(st, _):
             P, ref_idx = jax.vmap(assemble_step)(batch, st)
-            u, ok = flat_solve(P, st.u_warm, solve_batch)
+            if multistart:
+                # Tracker decision rule per robot lane (build_batch_sim's
+                # multistart semantics) over the flattened (B*R) batch.
+                B = st.u_warm.shape[0]
+                Pf = jax.tree.map(
+                    lambda x: x.reshape((B * R,) + x.shape[2:]), P)
+                res = solve_batch_ms(Pf, st.u_warm.reshape(B * R, -1),
+                                     st.u_prev.reshape(B * R, -1))
+                u = res.u.reshape(B, R, -1)
+                ok = res.converged.reshape(B, R)
+            else:
+                u, ok = flat_solve(P, st.u_warm, solve_batch)
             st2 = jax.vmap(apply_step)(batch, st, u, ok, ref_idx)
             return st2, jnp.all(st2.done | st2.collided, axis=1)
 

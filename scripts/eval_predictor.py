@@ -90,7 +90,7 @@ def main() -> int:
             jnp.sum((hypos - centroid[:, None, :]) ** 2, axis=-1), axis=1))
         return oracle, mean_err, spread
 
-    oracle_all, mean_all, spread_all = [], [], []
+    oracle_all, mean_all, spread_all, offset_all = [], [], [], []
     for video, idx in plan:
         batch = dh._gather(idx)
         o, m, s = metrics(mgr.state, jnp.asarray(batch["traj"]),
@@ -100,10 +100,24 @@ def main() -> int:
         oracle_all.append(np.asarray(o))
         mean_all.append(np.asarray(m))
         spread_all.append(np.asarray(s))
+        offset_all.append(np.asarray(batch["offset"]).reshape(-1))
 
     oracle = np.concatenate(oracle_all)
     meane = np.concatenate(mean_all)
     spread = np.concatenate(spread_all)
+    offsets = np.concatenate(offset_all)
+
+    # Oracle-ADE/FDE over the prediction horizon (displacement-error
+    # convention of the trajectory-prediction literature, oracle = best of
+    # the M hypotheses — "minADE_M/minFDE_M").  Each WSD sample is one
+    # (past, offset) pair, so per-offset bucket means ARE the per-horizon
+    # displacement errors; ADE averages them over offsets 1..T, FDE is the
+    # final offset's bucket.  Px → meters via the warehouse map scale
+    # (0.1 m/px, ScaleOffsetReverseTransform(scale=0.1)).
+    uniq = np.unique(offsets)
+    per_offset = {int(k): float(oracle[offsets == k].mean()) for k in uniq}
+    ade_px = float(np.mean(list(per_offset.values())))
+    fde_px = per_offset[int(uniq.max())]
     print(json.dumps({
         "ckpt": args.ckpt,
         "n": int(oracle.size),
@@ -111,6 +125,12 @@ def main() -> int:
         "oracle_err_px_p90": round(float(np.percentile(oracle, 90)), 2),
         "mean_err_px_mean": round(float(meane.mean()), 2),
         "spread_px_mean": round(float(spread.mean()), 2),
+        "oracle_ade_px": round(ade_px, 2),
+        "oracle_fde_px": round(fde_px, 2),
+        "oracle_ade_m": round(ade_px * 0.1, 3),
+        "oracle_fde_m": round(fde_px * 0.1, 3),
+        "per_offset_oracle_px": {k: round(v, 2)
+                                 for k, v in sorted(per_offset.items())},
     }))
     return 0
 

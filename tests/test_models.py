@@ -328,3 +328,33 @@ def test_smdn_fit_manager_trains():
     for _ in range(3):
         mgr.state, loss = mgr._train_step(mgr.state, images, labels, 1)
         assert np.isfinite(float(loss))
+
+
+def test_load_checkpoint_accepts_torch_pt():
+    """`NetworkManager.load_checkpoint` on a `.pt` file routes through
+    models.port (reference network_manager.py:102-115 loads the same
+    artifact via load_state_dict): forwards must be bit-identical to the
+    orbax checkpoint the artifact was exported from."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    orbax_path = os.path.join(repo, "Model", "wsd_1t20_full")
+    pt_path = os.path.join(repo, "Model", "wsd_1t20_full_torch.pt")
+    if not (os.path.isdir(orbax_path) and os.path.isfile(pt_path)):
+        pytest.skip("trained checkpoint artifacts not present")
+    cfg = WtaNetConfiguration()
+
+    def load(path):
+        mgr = NetworkManager(cfg, verbose=False)
+        mgr.build_network()
+        mgr.load_checkpoint(path)
+        return mgr
+
+    a, b = load(orbax_path), load(pt_path)
+    x = jnp.asarray(np.random.default_rng(0).random(
+        (2, cfg.y_max_px, cfg.x_max_px, cfg.input_channel), np.float32))
+
+    def fwd(m):
+        return m.state.apply_fn({"params": m.state.params,
+                                 "batch_stats": m.state.batch_stats},
+                                x, train=False)
+
+    assert np.abs(np.asarray(fwd(a)) - np.asarray(fwd(b))).max() == 0.0
