@@ -294,6 +294,13 @@ class MainBase:
             robot.state, dynamic_obstacles)
         collision = metrics.check_collision(robot.state, static_obstacles,
                                             dynamic_obstacles)
+        if collision:
+            # Cause split for outcome triage (static wall-squeeze vs
+            # pedestrian proximity — see docs/eval_triage_r4.md §2).
+            self._last_collision_cause = (
+                "static" if metrics.check_collision(robot.state,
+                                                    static_obstacles, [])
+                else "dynamic")
         complete = (False if collision else
                     tracker_interface.traj_tracker.check_termination_condition(
                         robot.state, action, robot.path[-1]))
@@ -348,6 +355,8 @@ class MainBase:
             self.outcome_results.append({
                 "outcome": ("collision" if collision
                             else "success" if complete else "timeout"),
+                **({"collision_cause": getattr(self, "_last_collision_cause",
+                                               None)} if collision else {}),
                 "steps": kt + 1,
                 "escalations": getattr(tracker, "escalation_count", 0),
                 "bad_statuses": sum(

@@ -32,6 +32,10 @@ def main(argv=None) -> int:
                     help="custom solver budget (default: the production "
                          "SolverConfiguration() profile)")
     ap.add_argument("--outer-iters", type=int, default=None)
+    ap.add_argument("--no-multistart", action="store_true",
+                    help="opt out of the tracker's 5-candidate multistart "
+                         "decision rule (budget-only escalation of the "
+                         "warm guess; ~5x cheaper, weaker basin recovery)")
     args = ap.parse_args(argv)
 
     import jax
@@ -85,12 +89,15 @@ def main(argv=None) -> int:
             inner_iters_later=max(inner // 2, 3))
     else:
         scfg = SolverConfiguration()
+    ms = not args.no_multistart
     if fleet:
         run = build_fleet_sim(base.config_mpc, base.config_robot, scfg,
-                              n_robots=args.robots, n_steps=args.steps)
+                              n_robots=args.robots, n_steps=args.steps,
+                              multistart=ms)
     else:
         run = build_batch_sim(base.config_mpc, base.config_robot, scfg,
-                              n_humans=args.humans, n_steps=args.steps)
+                              n_humans=args.humans, n_steps=args.steps,
+                              multistart=ms)
     seeds = jnp.arange(padded[0].shape[0])
 
     t0 = time.perf_counter()

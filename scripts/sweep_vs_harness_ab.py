@@ -30,11 +30,21 @@ sys.path.insert(0, REPO)
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=10)
+    ap.add_argument("--batched-runs", type=int, default=None,
+                    help="pedestrian seeds for the batched side (default "
+                         "--runs; more seeds tighten the distributional "
+                         "comparison at negligible cost)")
     ap.add_argument("--steps", type=int, default=120)
     ap.add_argument("--scenarios", default="0,1,2")
     ap.add_argument("--platform", default="")
     ap.add_argument("--skip-harness", action="store_true")
+    ap.add_argument("--reuse-harness", default=None, metavar="JSON",
+                    help="copy harness rows from a previous artifact "
+                         "instead of re-running the (slow) per-scenario "
+                         "eval — for re-measuring the batched side after "
+                         "a sim change")
     args = ap.parse_args()
+    n_batched = args.batched_runs or args.runs
 
     import jax
     if args.platform:
@@ -47,7 +57,12 @@ def main() -> int:
     from dyobav_tpu.sim.harness import MainBase
     from dyobav_tpu.sim.scenarios import build_scenario
 
-    out = {"runs": args.runs, "steps": args.steps, "scenarios": {}}
+    out = {"runs": args.runs, "batched_runs": n_batched,
+           "steps": args.steps, "scenarios": {}}
+    prev = None
+    if args.reuse_harness:
+        with open(args.reuse_harness) as f:
+            prev = json.load(f)
 
     for s_idx in (int(x) for x in args.scenarios.split(",")):
         base = MainBase(max_run_time_step=args.steps, evaluation=True,
@@ -59,13 +74,15 @@ def main() -> int:
         # --- batched sim, `runs` pedestrian seeds of the same scenario ---
         run = build_batch_sim(base.config_mpc, base.config_robot,
                               SolverConfiguration(), n_steps=args.steps)
-        batch = Scenario(*[jnp.stack([x] * args.runs) for x in sc])
-        res = run(batch, jnp.arange(args.runs))
+        batch = Scenario(*[jnp.stack([x] * n_batched) for x in sc])
+        res = run(batch, jnp.arange(n_batched))
         succ = np.asarray(res.success)
         coll = np.asarray(res.collided)
         row["batched"] = {
             "success_rate": float(succ.mean()),
             "collision_rate": float(coll.mean()),
+            "static_collision_rate": float(np.asarray(
+                res.collided_static).mean()),
             "timeout_rate": float((~succ & ~coll).mean()),
             "min_clearance_mean": float(np.asarray(
                 res.min_clearance)[np.isfinite(
@@ -80,7 +97,11 @@ def main() -> int:
               flush=True)
 
         # --- per-scenario harness, same protocol (main_eva shape) ---
-        if not args.skip_harness:
+        if prev is not None:
+            row["harness"] = prev["scenarios"][str(s_idx)].get("harness")
+            print(f"scenario {s_idx} harness (reused): "
+                  f"{json.dumps(row['harness'])}", flush=True)
+        elif not args.skip_harness:
             base.run("mpc", "cvmp")
             summary = base.results_summary()
             outcomes = summary.pop("outcomes", [])
