@@ -133,6 +133,25 @@ def main() -> int:
     solve_fn = (bundle.solve_batch_escalated if escalate
                 else bundle.solve_batch)
 
+    # Multi-chip: BENCH_DEVICES (default: every visible device) runs the
+    # SAME program shard-mapped over a 1-D mesh with BENCH_BATCH lanes PER
+    # DEVICE — on a v5e-8 pod, plain `python bench.py` measures the 8-chip
+    # headline directly.  shard_map (not jit-with-shardings) keeps the
+    # escalated tail's failing-lane gather device-local, so no collective
+    # crosses ICI and scaling is weak-scaling-exact (see
+    # parallel.mesh.shard_map_batch).  n_devices=1 compiles the identical
+    # single-chip program as before.
+    n_dev = int(os.environ.get("BENCH_DEVICES", "0")) or len(jax.devices())
+    n_dev = min(n_dev, len(jax.devices()))
+    if n_dev > 1:
+        from dyobav_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                              shard_map_batch)
+        mesh = make_mesh(n_dev)
+        inner = solve_fn
+        solve_fn = shard_map_batch(lambda Z, U0: inner(Z, U0), mesh)
+        shard_in = batch_sharding(mesh)
+        batch = batch * n_dev          # BENCH_BATCH lanes per device
+
     # Randomized scenario batch: straight references with a lateral
     # obstacle.  The per-scenario generator is parameterized by the walked
     # step index k so the receding-horizon warm-up below can re-pose each
@@ -172,11 +191,13 @@ def main() -> int:
             zs.append(np.asarray(pack(p)))
         return jnp.asarray(np.stack(zs))
 
+    put = (lambda x: jax.device_put(x, shard_in)) if n_dev > 1 else (
+        lambda x: x)
     states = np.stack([x0s, y0s, headings], axis=1).astype(np.float32)
     u_prev = np.tile(np.array([1.2, 0.0], np.float32), (batch, 1))
-    Z = make_Z(states, u_prev, 0)
-    U0 = jnp.tile(jnp.asarray(np.tile([1.2, 0.0], N), jnp.float32),
-                  (batch, 1))
+    Z = put(make_Z(states, u_prev, 0))
+    U0 = put(jnp.tile(jnp.asarray(np.tile([1.2, 0.0], N), jnp.float32),
+                      (batch, 1)))
 
     # Warm-up (compile) + cold-distribution quality snapshot.
     sol = solve_fn(Z, U0)
@@ -195,9 +216,9 @@ def main() -> int:
         states = np.asarray(step_batch(jnp.asarray(states),
                                        jnp.asarray(u[:, :cfg.nu])))
         u_prev = u[:, :cfg.nu]
-        U0 = jnp.asarray(np.concatenate([u[:, cfg.nu:], u[:, -cfg.nu:]],
-                                        axis=1))
-        Z = make_Z(states, u_prev, k + 1)
+        U0 = put(jnp.asarray(np.concatenate([u[:, cfg.nu:], u[:, -cfg.nu:]],
+                                            axis=1)))
+        Z = put(make_Z(states, u_prev, k + 1))
         sol = solve_fn(Z, U0)
         sol.u.block_until_ready()
 
@@ -267,6 +288,7 @@ def main() -> int:
         "warm_steps": warm_steps,
         "profile": profile_name,
         "batch": batch,
+        "devices": n_dev,
         "escalated_tail": escalate,
     }))
     return 0

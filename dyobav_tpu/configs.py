@@ -279,6 +279,19 @@ class SolverConfiguration:
     schulz_iters: int = 14          # Newton–Schulz iterations (error squares
                                     # each iteration from the Gershgorin
                                     # starting point)
+    hessian_mode: str = "structured"
+                                    # "structured": exact merit Hessian
+                                    # assembled from the chain structure —
+                                    # ∇²φ of the all-parallel state-space
+                                    # objective + per-step dynamics
+                                    # curvature via the second-order
+                                    # adjoint (ops.newton.
+                                    # make_structured_hessian); no AD
+                                    # tangents through the rollout scan.
+                                    # "jacfwd": forward-over-reverse AD
+                                    # through the rollout (the r1-r4
+                                    # implementation; same matrix to float
+                                    # tolerance, kept as cross-check).
     cold_profile: Any = (12, 6, 5, 1, 10.0)
                                     # (inner, outer, later, substeps[,
                                     # penalty]) used for the FIRST solve of
@@ -322,9 +335,19 @@ class SolverConfiguration:
     escalation_slots: Any = (32,)
                                     # Per-stage slot DIVISORS for the
                                     # escalated batch path: ladder stage i
-                                    # re-solves up to max(B // slots[i], 8)
+                                    # re-solves up to
+                                    # max(B // slots[i], min(B, 8), 1)
                                     # failed lanes (engine.
-                                    # solve_batch_escalated).  B/32 = 32
+                                    # solve_batch_escalated) — the floor is
+                                    # min(B, 8), i.e. whole-batch coverage
+                                    # below B=8.  NOTE the r4 single-stage
+                                    # default ladder trades the old
+                                    # two-stage default's exit_ok (~0.995)
+                                    # down to 0.991 for +45% throughput
+                                    # (recorded frontier sweep below); the
+                                    # two-stage chord+strong point remains
+                                    # available via escalation_ladder=None.
+                                    # B/32 = 32
                                     # slots at B=1024 covers the measured
                                     # warm-profile failure tail (~2.4% ≈
                                     # 25 lanes, docs/triage_tail_r3_b1024

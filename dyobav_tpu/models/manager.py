@@ -479,10 +479,22 @@ class NetworkManager:
             import jax.numpy as jnp
 
             from .port import load_torch_checkpoint
+            # Infer lite from the actual built module (WtaNetConfiguration
+            # has no `lite` field; a custom non-lite net would otherwise be
+            # mapped to ResNet34Lite key names — ADVICE r4).
             restored = load_torch_checkpoint(
-                path, lite=self.config.lite if hasattr(
-                    self.config, "lite") else True)
+                path, lite=getattr(self.net, "lite", True))
             restored = jax.tree_util.tree_map(jnp.asarray, restored)
+            # Validate against the built network's structure like the orbax
+            # branch does implicitly via its restore target.
+            want = jax.tree_util.tree_structure(
+                {"params": self.state.params,
+                 "batch_stats": self.state.batch_stats})
+            got = jax.tree_util.tree_structure(restored)
+            if want != got:
+                raise ValueError(
+                    "torch checkpoint structure does not match the built "
+                    f"network: expected {want}, got {got}")
         else:
             import orbax.checkpoint as ocp
             ckptr = ocp.StandardCheckpointer()

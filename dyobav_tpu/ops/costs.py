@@ -145,6 +145,23 @@ def evaluate(u_flat: jnp.ndarray, p: MpcParams, cfg: MpcConfiguration,
     u_flat: (nu*N_hor,) decision variables in [v0, w0, v1, w1, ...] order,
     identical to the reference solver's decision vector.
     """
+    states = rollout_states(p.s0, u_flat.reshape(cfg.N_hor, cfg.nu), cfg.ts)
+    return evaluate_states(states, u_flat, p, cfg, robot)
+
+
+def evaluate_states(states: jnp.ndarray, u_flat: jnp.ndarray, p: MpcParams,
+                    cfg: MpcConfiguration,
+                    robot: CircularRobotSpecification) -> CostBreakdown:
+    """`evaluate` with the rolled-out states passed in as an independent
+    input — the state-space objective φ(X, u).
+
+    This split is what the structured Hessian exploits (`ops.newton`):
+    every cost/constraint term here is a PARALLEL tensor op over the
+    horizon, so ∇²φ over the (N·ns + N·nu)-dim (X, u) vector contains no
+    sequential scan; the rollout's curvature is reassembled separately
+    from per-step dynamics derivatives.  `evaluate(u) ==
+    evaluate_states(rollout(u), u)` exactly (same ops, same tie-breaks).
+    """
     N, nu = cfg.N_hor, cfg.nu
     u = u_flat.reshape(N, nu)
     ts = cfg.ts
@@ -152,7 +169,6 @@ def evaluate(u_flat: jnp.ndarray, p: MpcParams, cfg: MpcConfiguration,
     (qpos, qvel, qtheta, rv, rw, qN, qthetaN, qrpd,
      acc_penalty, w_acc_penalty) = [p.q[i] for i in range(10)]
 
-    states = rollout_states(p.s0, u, ts)                  # (N, ns)
     states_xy = states[:, :2]
 
     # Reference path: N states' positions, last repeated -> N segments.
@@ -213,6 +229,34 @@ def evaluate(u_flat: jnp.ndarray, p: MpcParams, cfg: MpcConfiguration,
     f2 = static_violation + dyn_violation
 
     return CostBreakdown(objective=cost, f1=f1, f2=f2, states=states)
+
+
+def split_objective(p: MpcParams, cfg: MpcConfiguration,
+                    robot: CircularRobotSpecification):
+    """(phi, rollout, step, s0) — the structured form of the NMPC objective
+    consumed by `ops.newton`'s structured Hessian.
+
+    phi(X, u)  : state-space objective (no rollout inside; all-parallel ops)
+    rollout(u) : (nu*N,) -> (N, ns) horizon states
+    step(x, a) : one dynamics step (the scan body), for per-step Jacobian /
+                 curvature extraction
+    s0         : (ns,) initial state
+    """
+    from ..motion.models import unicycle_step
+
+    N, nu, ts = cfg.N_hor, cfg.nu, cfg.ts
+
+    def phi(states, u_flat):
+        br = evaluate_states(states, u_flat, p, cfg, robot)
+        return br.objective, br.f1, br.f2
+
+    def roll(u_flat):
+        return rollout_states(p.s0, u_flat.reshape(N, nu), ts)
+
+    def step(x, a):
+        return unicycle_step(x, a, ts)
+
+    return phi, roll, step, p.s0
 
 
 def constraint_residuals(u_flat: jnp.ndarray, p: MpcParams,

@@ -134,12 +134,16 @@ def _build_mpc_solver_uncached(
 
     def _solve_one(z: jnp.ndarray, u0: jnp.ndarray) -> MpcSolve:
         z = z.astype(dtype)
+        p = unpack(z, cfg)
 
         def obj(u_flat):
-            br = objective_with_params(u_flat, z)
+            br = costs.evaluate(u_flat, p, cfg, robot)
             return br.objective, br.f1, br.f2
 
-        res = make_solver(obj, u_lo, u_hi, c_lo, c_hi, scfg)(u0.astype(dtype))
+        kw = ({"split": costs.split_objective(p, cfg, robot)}
+              if method == "newton" else {})
+        res = make_solver(obj, u_lo, u_hi, c_lo, c_hi, scfg,
+                          **kw)(u0.astype(dtype))
         br = objective_with_params(res.u, z)
         return MpcSolve(
             u=res.u, cost=res.cost, pred_states=br.states,
@@ -177,13 +181,16 @@ def _build_mpc_solver_uncached(
 
             def _solve_stage(z: jnp.ndarray, u0: jnp.ndarray) -> MpcSolve:
                 z = z.astype(dtype)
+                p = unpack(z, cfg)
 
                 def obj(u_flat):
-                    br = objective_with_params(u_flat, z)
+                    br = costs.evaluate(u_flat, p, cfg, robot)
                     return br.objective, br.f1, br.f2
 
+                kw = ({"split": costs.split_objective(p, cfg, robot)}
+                      if method == "newton" else {})
                 res = make_solver(obj, u_lo, u_hi, c_lo, c_hi,
-                                  stage_cfg)(u0.astype(dtype))
+                                  stage_cfg, **kw)(u0.astype(dtype))
                 br = objective_with_params(res.u, z)
                 return MpcSolve(
                     u=res.u, cost=res.cost, pred_states=br.states,

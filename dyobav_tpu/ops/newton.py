@@ -81,6 +81,108 @@ class NewtonResult(NamedTuple):
     converged: jnp.ndarray
 
 
+def make_structured_hessian(split, proj_rect):
+    """Exact merit Hessian assembled from the PROBLEM STRUCTURE instead of
+    forward-over-reverse AD through the rollout scan.
+
+    jacfwd(grad(merit)) pushes n=40 tangents through the sequential N=20
+    forward scan AND its transposed backward scan — 40 scan steps of
+    tangent-widened work that a device trace (scripts/trace_solver.py)
+    measured as the dominant per-iteration cost once linear solves moved to
+    the Pallas kernel (ROADMAP #6/#28).  The chain structure gives the same
+    matrix with no tangents through any scan:
+
+        ψ(u) = φ(X(u), u)  with  X_k = f(X_{k-1}, u_k)
+        ∇²ψ  = Gᵀ (∇²φ) G  +  Σ_k S_kᵀ (q_k · ∇²f_k) S_k
+
+    where G = [J; I] (J the trajectory Jacobian dX/du), S_k = [J_{k-1}; E_k]
+    the input map of step k, and q_k the second-order adjoint
+    q_k = λ_k + A_{k+1}ᵀ q_{k+1}, λ = ∂φ/∂X.  The pieces:
+
+      * ∇²φ: φ is all-parallel horizon tensor ops (`costs.evaluate_states`)
+        — its (N·ns+n)-dim Hessian traces with zero sequential steps;
+      * A_k, B_k, ∇²f_k: per-step dynamics derivatives of ONE RK4 step,
+        vmapped over the horizon (parallel);
+      * J, q: two length-N scans carrying (ns, n) / (ns,) — tiny;
+      * the final contractions are batched matmuls (MXU work).
+
+    Exactness (not Gauss-Newton): the Σ q·∇²f term carries ALL the rollout
+    curvature, so this equals jacfwd(grad(merit)) to float tolerance
+    (tests/test_newton.py::test_structured_hessian_matches_jacfwd).
+    """
+    phi, roll, step, s0 = split
+
+    def merit_x(X, u, y, c):
+        f, f1, f2 = phi(X, u)
+        shifted = f1 + y / c
+        alm = shifted - proj_rect(shifted)
+        return f + 0.5 * c * (jnp.sum(alm * alm) + jnp.sum(f2 * f2))
+
+    def hess(u, y, c):
+        dtype = u.dtype
+        X = roll(u)                                    # (N, ns)
+        N, ns = X.shape
+        n = u.shape[0]
+        nu = n // N
+
+        def merit_z(zf):
+            return merit_x(zf[:N * ns].reshape(N, ns), zf[N * ns:], y, c)
+
+        z = jnp.concatenate([X.reshape(-1), u])
+
+        prevs = jnp.concatenate([s0[None].astype(dtype), X[:-1]], axis=0)
+        zk = jnp.concatenate([prevs, u.reshape(N, nu)], axis=1)  # (N, ns+nu)
+
+        def step_z(zz):
+            return step(zz[:ns], zz[ns:])
+
+        AB = jax.vmap(jax.jacfwd(step_z))(zk)          # (N, ns, ns+nu)
+        Hf = jax.vmap(jax.jacfwd(jax.jacfwd(step_z)))(zk)
+        A, Bm = AB[..., :ns], AB[..., ns:]
+
+        # E_k: (nu, n) one-hot selector of u_k's slice of the flat decision
+        # vector — eye(n) reshaped lists exactly those rows in order.
+        E = jnp.eye(n, dtype=dtype).reshape(N, nu, n)
+
+        def jbody(Jprev, inp):
+            Ak, Bk, Ek = inp
+            Jk = Ak @ Jprev + Bk @ Ek
+            return Jk, Jk
+
+        _, J = jax.lax.scan(jbody, jnp.zeros((ns, n), dtype), (A, Bm, E))
+        G = jnp.concatenate([J.reshape(N * ns, n),
+                             jnp.eye(n, dtype=dtype)], axis=0)  # (N·ns+n, n)
+
+        # Gᵀ(∇²φ)G without materializing the (N·ns+n)² matrix: n
+        # Hessian-vector products of φ along G's columns — the same tangent
+        # count as jacfwd-of-grad(merit), but through the ALL-PARALLEL φ
+        # instead of through the rollout scan and its transpose.
+        gz, hvp = jax.linearize(jax.grad(merit_z), z)
+        W = jax.vmap(hvp)(G.T)                         # (n, N·ns+n)
+        H_cost = W @ G                                 # (n, n)
+        lam = gz[:N * ns].reshape(N, ns)
+
+        def qbody(qnext, inp):
+            lamk, Anext = inp
+            qk = lamk + Anext.T @ qnext
+            return qk, qk
+
+        _, q_rev = jax.lax.scan(qbody, lam[N - 1],
+                                (lam[:-1][::-1], A[1:][::-1]))
+        q = jnp.concatenate([q_rev[::-1], lam[N - 1:]], axis=0)   # (N, ns)
+
+        M = jnp.einsum("ki,kipq->kpq", q, Hf)          # (N, ns+nu, ns+nu)
+        Jprev_full = jnp.concatenate(
+            [jnp.zeros((1, ns, n), dtype), J[:-1]], axis=0)
+        S = jnp.concatenate([Jprev_full, E], axis=1)   # (N, ns+nu, n)
+        H_dyn = jnp.einsum("kpi,kpq,kqj->ij", S, M, S)
+
+        H = H_cost + H_dyn
+        return 0.5 * (H + H.T)
+
+    return hess
+
+
 def make_alm_newton_solver(
     objective: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
     u_lo: jnp.ndarray,
@@ -88,8 +190,15 @@ def make_alm_newton_solver(
     c_lo: jnp.ndarray,
     c_hi: jnp.ndarray,
     solver_cfg: SolverConfiguration,
+    split=None,
 ):
-    """Build the jittable ALM-Newton solve (same contract as PANOC builder)."""
+    """Build the jittable ALM-Newton solve (same contract as PANOC builder).
+
+    split: optional `(phi, rollout, step, s0)` from `costs.split_objective`;
+    with `solver_cfg.hessian_mode == "structured"` (the default) it swaps
+    the jacfwd-of-grad merit Hessian for the structure-exploiting assembly
+    (`make_structured_hessian`) — same matrix, no tangents through scans.
+    """
     scfg = solver_cfg
     n = u_lo.shape[0]
     # Pin constant dtypes to the problem dtype so the solver also traces
@@ -119,8 +228,13 @@ def make_alm_newton_solver(
         return f + 0.5 * c * (jnp.sum(alm * alm) + jnp.sum(f2 * f2))
 
     merit_grad = jax.value_and_grad(merit_fn)
-    # Forward-over-reverse exact Hessian: n JVP columns through the rollout.
-    merit_hess = jax.jacfwd(jax.grad(merit_fn))
+    if split is not None and getattr(scfg, "hessian_mode",
+                                     "structured") == "structured":
+        # Structure-exploiting exact Hessian: no tangents through any scan.
+        merit_hess = make_structured_hessian(split, proj_rect)
+    else:
+        # Forward-over-reverse: n JVP columns through the rollout scan.
+        merit_hess = jax.jacfwd(jax.grad(merit_fn))
 
     lm_ladder = jnp.array(_LM_LADDER)
 

@@ -96,6 +96,27 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def shard_map_batch(fn, mesh: Mesh):
+    """Wrap a batched function so each device runs it on ITS batch shard.
+
+    The production escalated/multistart batch solves gather failing lanes
+    across their batch (`jnp.nonzero` + rank merge).  Under plain
+    `jit(in_shardings=...)` that gather is GLOBAL — XLA inserts all-gathers
+    and the lanes serialize across devices.  `shard_map` keeps the whole
+    decision rule device-local instead: each chip escalates within its own
+    shard (slot counts follow the LOCAL batch), no collective ever crosses
+    ICI, and weak scaling is exact by construction.  This is the multi-chip
+    form of the headline bench (`bench.py BENCH_DEVICES`) and of
+    `sim.sweep` at pod scale.
+
+    fn must map leading-axis-batched inputs to leading-axis-batched outputs
+    (every leaf batched); mesh axis size must divide the global batch.
+    """
+    import jax as _jax
+    return _jax.jit(_jax.shard_map(
+        fn, mesh=mesh, in_specs=P(DATA_AXIS), out_specs=P(DATA_AXIS)))
+
+
 def pad_to_multiple(batch: np.ndarray, multiple: int):
     """Pad the leading axis to a multiple (returns padded array + true n)."""
     n = batch.shape[0]

@@ -62,23 +62,39 @@ def ref_window_select(ref_traj, ref_len, ref_idx, state, N: int,
 
 
 def human_waypoint_step(humans, wp_idx, paths, path_len, rng,
-                        vmax: float, stagger_mag: float, ts: float):
+                        vmax: float, stagger_mag: float, ts: float,
+                        stagger=None):
     """Pedestrian waypoint-following step with the reference's stagger noise
-    (basic_agent.py:98-101: choice(±1) * randint(0,10)/10 * s)."""
-    goal = jnp.take_along_axis(
-        paths, wp_idx[:, None, None].clip(0, paths.shape[1] - 1), axis=1
-    )[:, 0, :]
-    dvec = goal - humans
-    dist = jnp.linalg.norm(dvec, axis=-1)
-    advance = (dist < vmax * ts) & (wp_idx < path_len - 1)
-    wp_idx = wp_idx + advance.astype(wp_idx.dtype)
-    active = wp_idx < path_len
-    dire = dvec / jnp.maximum(dist, 1e-9)[:, None]
-    rng, k1, k2 = jax.random.split(rng, 3)
-    sign = jax.random.choice(k1, jnp.array([1.0, -1.0]), (humans.shape[0],))
-    mag = jax.random.randint(k2, (humans.shape[0],), 0, 11) / 10.0
-    stagger = (sign * mag * stagger_mag)[:, None]
-    vel = dire * vmax + stagger
+    (basic_agent.py:98-101: choice(±1) * randint(0,10)/10 * s).
+
+    Semantics mirror the harness agent EXACTLY (MovingAgent.run_step /
+    get_next_goal / get_action, motion/agents.py:38-73): when the current
+    waypoint is within vmax*ts it is popped FIRST and the step targets the
+    NEXT node; a human that pops its last node stops for good (the r1-r4
+    version kept jittering at the final node forever and steered toward the
+    stale node on pop steps — a systematic divergence from the harness that
+    the r4 sweep-vs-harness A/B could not separate from sampling noise).
+
+    stagger: optional (H,) precomputed stagger scalars for THIS step
+    (already scaled — e.g. replayed from the harness's `random.Random`
+    stream by `scripts/lockstep_ab.py`); None draws from `rng` in-graph.
+    """
+    H = humans.shape[0]
+    clip_idx = lambda i: i[:, None, None].clip(0, paths.shape[1] - 1)
+    goal = jnp.take_along_axis(paths, clip_idx(wp_idx), axis=1)[:, 0, :]
+    dist = jnp.linalg.norm(goal - humans, axis=-1)
+    reach = dist < vmax * ts
+    wp_idx = wp_idx + reach.astype(wp_idx.dtype)          # pop
+    active = wp_idx < path_len                            # any node left?
+    goal2 = jnp.take_along_axis(paths, clip_idx(wp_idx), axis=1)[:, 0, :]
+    dvec = goal2 - humans
+    dire = dvec / jnp.maximum(jnp.linalg.norm(dvec, axis=-1), 1e-9)[:, None]
+    if stagger is None:
+        rng, k1, k2 = jax.random.split(rng, 3)
+        sign = jax.random.choice(k1, jnp.array([1.0, -1.0]), (H,))
+        mag = jax.random.randint(k2, (H,), 0, 11) / 10.0
+        stagger = sign * mag * stagger_mag
+    vel = dire * vmax + stagger[:, None]
     humans = jnp.where(active[:, None], humans + ts * vel, humans)
     return humans, wp_idx, rng
 
@@ -191,6 +207,13 @@ class SimState(NamedTuple):
     min_static: jnp.ndarray     # () min static-boundary distance so far
     solver_fails: jnp.ndarray   # () int32: steps whose merged solve stayed
                                 #   non-converged after the ladder
+    overflow_steps: jnp.ndarray # () int32: steps whose distressed lane fell
+                                #   beyond the multistart cold-slot cap
+    u_prev2: jnp.ndarray        # (2,) action two steps back (for |Δ²a|)
+    n_actions: jnp.ndarray      # () int32 actions applied while active
+    sum_jerk: jnp.ndarray       # (2,) Σ|Δ²(v, ω)| (reference smoothness)
+    sum_dev: jnp.ndarray        # () Σ per-step min distance to ref traj
+    max_dev: jnp.ndarray        # () max of the same
     rng: jnp.ndarray            # PRNG key
 
 
@@ -203,6 +226,11 @@ class BatchResult(NamedTuple):
     steps_used: jnp.ndarray     # (B,)
     min_static_clearance: jnp.ndarray  # (B,) vs inflated static polygons
     solver_fail_steps: jnp.ndarray     # (B,) non-converged steps per lane
+    # Reference eval-protocol metrics (main_pre.py:34-53, main_base.py:483-506)
+    smoothness: jnp.ndarray     # (B, 2) mean |Δ²v|, mean |Δ²ω| per episode
+    deviation_mean: jnp.ndarray # (B,) mean min-distance to the reference path
+    deviation_max: jnp.ndarray  # (B,) max of the same
+    escalation_overflow_steps: jnp.ndarray  # (B,) distressed-but-uncapped steps
 
 
 def build_lane_solvers(cfg: MpcConfiguration,
@@ -240,8 +268,9 @@ def build_lane_solvers(cfg: MpcConfiguration,
             def obj(u_flat):
                 br = costs.evaluate(u_flat, p, cfg, robot_cfg)
                 return br.objective, br.f1, br.f2
-            return make_alm_newton_solver(obj, u_lo, u_hi, c_lo, c_hi,
-                                          stage_cfg)(u0)
+            return make_alm_newton_solver(
+                obj, u_lo, u_hi, c_lo, c_hi, stage_cfg,
+                split=costs.split_objective(p, cfg, robot_cfg))(u0)
         return solve
 
     solve_warm = make_profile_solver()
@@ -320,6 +349,10 @@ def build_lane_solvers(cfg: MpcConfiguration,
 
     def solve_batch_multistart(P: MpcParams, U0: jnp.ndarray,
                                Uprev: jnp.ndarray):
+        """Returns (result, overflow): `overflow` is a (B,) bool marking
+        lanes that were distressed but fell beyond the K = B//2 cold-slot
+        cap and silently kept their warm-profile result (ADVICE r4: the
+        truncation must be visible to triage; the sims count it per lane)."""
         B = U0.shape[0]
         GU = jax.vmap(make_guesses)(U0, Uprev)            # (B, G, nu*N)
         Pg = jax.tree.map(lambda x: jnp.repeat(x, G, axis=0), P)
@@ -331,8 +364,9 @@ def build_lane_solvers(cfg: MpcConfiguration,
                     | (jnp.max(res_g.infeasibility, axis=1) > infeas_bar)
                     | jnp.logical_not(sel.converged))
         if cold_solve is None:
-            return sel
+            return sel, jnp.zeros(B, bool)
         K = max(B // 2, min(B, 8), 1)
+        overflow = distress & ((jnp.cumsum(distress) - 1) >= K)
 
         def run_cold(cur):
             idx = jnp.nonzero(distress, size=K, fill_value=0)[0]
@@ -353,7 +387,8 @@ def build_lane_solvers(cfg: MpcConfiguration,
 
             return jax.tree.map(merge, cur, csel)
 
-        return jax.lax.cond(jnp.any(distress), run_cold, lambda c: c, sel)
+        return jax.lax.cond(jnp.any(distress), run_cold, lambda c: c,
+                            sel), overflow
 
     return solve_warm, cold_solve, solve_batch, solve_batch_multistart
 
@@ -364,7 +399,7 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
                     human_stagger: float = 0.5, n_steps: int = 120,
                     predictor=None, escalate: bool = True,
                     multistart: bool = True, record_traj: bool = False,
-                    dtype=jnp.float32):
+                    stagger_stream=None, dtype=jnp.float32):
     """Returns run(batch: Scenario[B], seed) -> BatchResult — fully jitted.
 
     Production-faithful semantics (the sweep runs the SAME operating point
@@ -387,13 +422,29 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
     `make_wta_predictor` builds the full neural (SWTA + on-device CGF)
     version — BASELINE config #3 at scenario-batch scale.
     escalate: False opts out of the in-scan ladder (warm profile only; the
-    cold pre-solve keeps running) — mostly for A/B measurement.
+    cold pre-solve keeps running) — mostly for A/B measurement.  NOTE: the
+    ladder only runs on the multistart=False path; with the default
+    multistart=True the per-step decision rule is `solve_batch_multistart`
+    (which has its own cold-budget re-solve) and `escalate` has no effect —
+    an escalate A/B must also pass multistart=False (ADVICE r4).
     multistart: True (default) runs the tracker's full per-step decision
     rule in-graph — 5-candidate multistart with feasibility-gated argmin
     and cold-budget re-solve of distressed lanes (see
     `solve_batch_multistart`); False falls back to budget-only escalation
     of the single warm guess.
+    stagger_stream: optional (B, n_steps, H) precomputed pedestrian stagger
+    scalars (already scaled by the stagger magnitude); replaces the
+    in-graph jax.random draws so a lane can be SEED-MATCHED against the
+    per-scenario harness (scripts/lockstep_ab.py replays the harness's
+    `random.Random` stream into this tensor).
     """
+    if not escalate and multistart:
+        import warnings
+        warnings.warn(
+            "build_batch_sim(escalate=False) has no effect while "
+            "multistart=True (the multistart path never calls the "
+            "escalation ladder); pass multistart=False for an escalate "
+            "A/B.", stacklevel=2)
     scfg = solver_cfg or SolverConfiguration()
     N = cfg.N_hor
     ts = cfg.ts
@@ -413,9 +464,10 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
         return ref_window_select(ref_traj, ref_len, ref_idx, state, N,
                                  cfg.action_steps)
 
-    def human_step(humans, wp_idx, paths, path_len, rng):
+    def human_step(humans, wp_idx, paths, path_len, rng, stagger=None):
         return human_waypoint_step(humans, wp_idx, paths, path_len, rng,
-                                   human_vmax, human_stagger, ts)
+                                   human_vmax, human_stagger, ts,
+                                   stagger=stagger)
 
     predict_fn = (predictor if predictor is not None
                   else lambda hist: cv_predict_horizon(hist, N))
@@ -445,7 +497,8 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
         prediction = predict_fn(st.human_hist)
         return assemble_params(sc, st, window, prediction), ref_idx
 
-    def apply_step(sc: Scenario, st: SimState, u, solver_ok, ref_idx):
+    def apply_step(sc: Scenario, st: SimState, u, solver_ok, overflow,
+                   ref_idx, stagger=None):
         """Per-lane post-solve work: dynamics, collisions, bookkeeping."""
         action = u[:2]
         action = jnp.where(action[0] < 0, jnp.zeros(2, dtype), action)
@@ -453,7 +506,7 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
 
         humans_new, wp_new, rng = human_step(st.humans, st.human_wp,
                                              sc.human_paths, sc.human_path_len,
-                                             st.rng)
+                                             st.rng, stagger)
         hist_new = jnp.concatenate([st.human_hist[1:], humans_new[None]],
                                    axis=0)
 
@@ -464,6 +517,18 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
         collided_now = (d_humans <= HUMAN_SIZE) | inside_static
         dist_goal = jnp.linalg.norm(robot_new[:2] - sc.goal[:2])
         done_now = (dist_goal < 0.5) & (jnp.abs(action[0]) < 0.4)
+
+        # Reference eval-protocol accumulators (main_pre.py:34-53): action
+        # smoothness |Δ²a| (valid once two prior actions exist, mirroring
+        # np.diff(actions, n=2)) and per-step min distance of the NEW
+        # position to the full reference trajectory (not just the local
+        # window), like calc_deviation_distance over actual_traj.
+        jerk = jnp.abs(action - 2.0 * st.u_prev + st.u_prev2)
+        jerk_valid = st.n_actions >= 2
+        ref_pts = sc.ref_traj[:, :2]
+        dev_all = jnp.linalg.norm(robot_new[:2][None] - ref_pts, axis=-1)
+        dev = jnp.min(jnp.where(jnp.arange(ref_pts.shape[0]) < sc.ref_len,
+                                dev_all, jnp.inf))
 
         frozen = st.done | st.collided
         keep = lambda new, old: jnp.where(frozen, old, new)
@@ -485,6 +550,15 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
                                  jnp.minimum(st.min_static, d_static)),
             solver_fails=st.solver_fails
             + jnp.where(frozen, 0, (~solver_ok).astype(jnp.int32)),
+            overflow_steps=st.overflow_steps
+            + jnp.where(frozen, 0, overflow.astype(jnp.int32)),
+            u_prev2=keep(st.u_prev, st.u_prev2),
+            n_actions=st.n_actions + jnp.where(frozen, 0, 1),
+            sum_jerk=jnp.where(frozen | ~jerk_valid, st.sum_jerk,
+                               st.sum_jerk + jerk),
+            sum_dev=jnp.where(frozen, st.sum_dev, st.sum_dev + dev),
+            max_dev=jnp.where(frozen, st.max_dev,
+                              jnp.maximum(st.max_dev, dev)),
             rng=rng,
         )
         return st_new
@@ -505,6 +579,12 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
             min_clearance=jnp.array(jnp.inf, dtype),
             min_static=jnp.array(jnp.inf, dtype),
             solver_fails=jnp.array(0, jnp.int32),
+            overflow_steps=jnp.array(0, jnp.int32),
+            u_prev2=jnp.zeros(2, dtype),
+            n_actions=jnp.array(0, jnp.int32),
+            sum_jerk=jnp.zeros(2, dtype),
+            sum_dev=jnp.array(0.0, dtype),
+            max_dev=jnp.array(0.0, dtype),
             rng=jax.random.PRNGKey(seed),
         )
 
@@ -517,39 +597,33 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
             res0 = jax.vmap(cold_solve_one)(P0, st.u_warm)
             st = st._replace(u_warm=res0.u)
 
-        def body(st, _):
+        def body(st, stag):
             P, ref_idx = jax.vmap(assemble_step)(batch, st)
             if multistart:
-                res = solve_batch_ms(P, st.u_warm, st.u_prev)
+                res, overflow = solve_batch_ms(P, st.u_warm, st.u_prev)
             else:
                 res = solve_batch(P, st.u_warm)
-            st2 = jax.vmap(apply_step)(batch, st, res.u, res.converged,
-                                       ref_idx)
+                overflow = jnp.zeros(res.converged.shape, bool)
+            if stag is None:
+                st2 = jax.vmap(apply_step)(batch, st, res.u, res.converged,
+                                           overflow, ref_idx)
+            else:
+                st2 = jax.vmap(apply_step)(batch, st, res.u, res.converged,
+                                           overflow, ref_idx, stag)
             out = (st2.done | st2.collided)
             if record_traj:
                 out = (out, st2.robot, st2.humans)
             return st2, out
 
-        st, ys = jax.lax.scan(body, st, None, length=n_steps)
+        xs = (None if stagger_stream is None
+              else jnp.swapaxes(jnp.asarray(stagger_stream, dtype), 0, 1))
+        st, ys = jax.lax.scan(body, st, xs, length=n_steps)
         if record_traj:
             done_hist, traj, humans_traj = ys
         else:
             done_hist = ys
         steps_used = jnp.sum(~done_hist, axis=0)
-        if record_traj:
-            # (T, B, ...) step histories for plotting/triage; returned as a
-            # side tuple so BatchResult stays stable for existing callers.
-            return BatchResult(
-                success=st.done & ~st.collided,
-                collided=st.collided,
-                collided_static=st.collided_static,
-                min_clearance=st.min_clearance,
-                final_state=st.robot,
-                steps_used=steps_used,
-                min_static_clearance=st.min_static,
-                solver_fail_steps=st.solver_fails,
-            ), (traj, humans_traj)
-        return BatchResult(
+        result = BatchResult(
             success=st.done & ~st.collided,
             collided=st.collided,
             collided_static=st.collided_static,
@@ -558,7 +632,18 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
             steps_used=steps_used,
             min_static_clearance=st.min_static,
             solver_fail_steps=st.solver_fails,
+            smoothness=st.sum_jerk
+            / jnp.maximum(st.n_actions - 2, 1)[:, None].astype(dtype),
+            deviation_mean=st.sum_dev
+            / jnp.maximum(st.n_actions, 1).astype(dtype),
+            deviation_max=st.max_dev,
+            escalation_overflow_steps=st.overflow_steps,
         )
+        if record_traj:
+            # (T, B, ...) step histories for plotting/triage; returned as a
+            # side tuple so BatchResult stays stable for existing callers.
+            return result, (traj, humans_traj)
+        return result
 
     return run
 

@@ -68,6 +68,12 @@ class FleetState(NamedTuple):
     min_clearance: jnp.ndarray  # (R,) min robot-human distance so far
     min_static: jnp.ndarray     # (R,) min static-boundary distance so far
     solver_fails: jnp.ndarray   # (R,) int32 non-converged steps per robot
+    overflow_steps: jnp.ndarray # (R,) int32 multistart cold-cap overflows
+    u_prev2: jnp.ndarray        # (R, 2) action two steps back
+    n_actions: jnp.ndarray      # (R,) int32 actions applied while active
+    sum_jerk: jnp.ndarray       # (R, 2) Σ|Δ²(v, ω)|
+    sum_dev: jnp.ndarray        # (R,) Σ per-step min ref-path distance
+    max_dev: jnp.ndarray        # (R,) max of the same
     humans: jnp.ndarray         # (H, 2)
     human_wp: jnp.ndarray       # (H,)
     human_hist: jnp.ndarray     # (5, H, 2)
@@ -84,6 +90,11 @@ class FleetResult(NamedTuple):
     steps_used: jnp.ndarray     # (B,)
     min_static_clearance: jnp.ndarray  # (B, R)
     solver_fail_steps: jnp.ndarray     # (B, R)
+    # Reference eval-protocol metrics (main_pre.py:34-53), per robot.
+    smoothness: jnp.ndarray     # (B, R, 2) mean |Δ²v|, |Δ²ω|
+    deviation_mean: jnp.ndarray # (B, R)
+    deviation_max: jnp.ndarray  # (B, R)
+    escalation_overflow_steps: jnp.ndarray  # (B, R)
 
 
 def build_fleet_sim(cfg: MpcConfiguration,
@@ -178,7 +189,8 @@ def build_fleet_sim(cfg: MpcConfiguration,
         )(jnp.arange(R), windows)
         return params, ref_idx
 
-    def apply_step(sc: FleetScenario, st: FleetState, u, solver_ok, ref_idx):
+    def apply_step(sc: FleetScenario, st: FleetState, u, solver_ok, overflow,
+                   ref_idx):
         """Per-scenario post-solve work (u: (R, nu*N))."""
         H = st.humans.shape[0]
         actions = u[:, :2]
@@ -220,6 +232,15 @@ def build_fleet_sim(cfg: MpcConfiguration,
                                     axis=-1)
         done_now = (dist_goal < 0.5) & (jnp.abs(actions[:, 0]) < 0.4)
 
+        # Reference eval-protocol accumulators (see sim.batch.apply_step).
+        jerk = jnp.abs(actions - 2.0 * st.u_prev + st.u_prev2)   # (R, 2)
+        jerk_valid = st.n_actions >= 2                           # (R,)
+        P = sc.ref_trajs.shape[1]
+        dev_all = jnp.linalg.norm(
+            robots_new[:, None, :2] - sc.ref_trajs[:, :, :2], axis=-1)
+        dev = jnp.min(jnp.where(jnp.arange(P)[None] < sc.ref_lens[:, None],
+                                dev_all, jnp.inf), axis=1)       # (R,)
+
         frozen = st.done | st.collided
         keepR = lambda new, old: jnp.where(frozen[:, None], old, new)
         warm = jnp.concatenate([u[:, 2:], u[:, -2:]], axis=1)
@@ -240,6 +261,15 @@ def build_fleet_sim(cfg: MpcConfiguration,
                                  jnp.minimum(st.min_static, d_static)),
             solver_fails=st.solver_fails
             + jnp.where(frozen, 0, (~solver_ok).astype(jnp.int32)),
+            overflow_steps=st.overflow_steps
+            + jnp.where(frozen, 0, overflow.astype(jnp.int32)),
+            u_prev2=keepR(st.u_prev, st.u_prev2),
+            n_actions=st.n_actions + jnp.where(frozen, 0, 1),
+            sum_jerk=jnp.where((frozen | ~jerk_valid)[:, None], st.sum_jerk,
+                               st.sum_jerk + jerk),
+            sum_dev=jnp.where(frozen, st.sum_dev, st.sum_dev + dev),
+            max_dev=jnp.where(frozen, st.max_dev,
+                              jnp.maximum(st.max_dev, dev)),
             humans=humans_new, human_wp=wp_new, human_hist=hist_new,
             rng=rng,
         )
@@ -259,6 +289,12 @@ def build_fleet_sim(cfg: MpcConfiguration,
             min_clearance=jnp.full((R,), jnp.inf, dtype),
             min_static=jnp.full((R,), jnp.inf, dtype),
             solver_fails=jnp.zeros((R,), jnp.int32),
+            overflow_steps=jnp.zeros((R,), jnp.int32),
+            u_prev2=jnp.zeros((R, 2), dtype),
+            n_actions=jnp.zeros((R,), jnp.int32),
+            sum_jerk=jnp.zeros((R, 2), dtype),
+            sum_dev=jnp.zeros((R,), dtype),
+            max_dev=jnp.zeros((R,), dtype),
             humans=sc.human_starts.astype(dtype),
             human_wp=jnp.zeros((H,), jnp.int32),
             human_hist=jnp.broadcast_to(sc.human_starts.astype(dtype),
@@ -293,13 +329,15 @@ def build_fleet_sim(cfg: MpcConfiguration,
                 B = st.u_warm.shape[0]
                 Pf = jax.tree.map(
                     lambda x: x.reshape((B * R,) + x.shape[2:]), P)
-                res = solve_batch_ms(Pf, st.u_warm.reshape(B * R, -1),
-                                     st.u_prev.reshape(B * R, -1))
+                res, ovf = solve_batch_ms(Pf, st.u_warm.reshape(B * R, -1),
+                                          st.u_prev.reshape(B * R, -1))
                 u = res.u.reshape(B, R, -1)
                 ok = res.converged.reshape(B, R)
+                overflow = ovf.reshape(B, R)
             else:
                 u, ok = flat_solve(P, st.u_warm, solve_batch)
-            st2 = jax.vmap(apply_step)(batch, st, u, ok, ref_idx)
+                overflow = jnp.zeros(ok.shape, bool)
+            st2 = jax.vmap(apply_step)(batch, st, u, ok, overflow, ref_idx)
             return st2, jnp.all(st2.done | st2.collided, axis=1)
 
         st, finished = jax.lax.scan(body, st, None, length=n_steps)
@@ -312,6 +350,12 @@ def build_fleet_sim(cfg: MpcConfiguration,
             final_states=st.robots, steps_used=steps_used,
             min_static_clearance=st.min_static,
             solver_fail_steps=st.solver_fails,
+            smoothness=st.sum_jerk
+            / jnp.maximum(st.n_actions - 2, 1)[..., None].astype(dtype),
+            deviation_mean=st.sum_dev
+            / jnp.maximum(st.n_actions, 1).astype(dtype),
+            deviation_max=st.max_dev,
+            escalation_overflow_steps=st.overflow_steps,
         )
 
     return run

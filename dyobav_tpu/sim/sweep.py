@@ -121,12 +121,19 @@ def main(argv=None) -> int:
             coll = res.collided
             static_clear = res.min_static_clearance
             fails = res.solver_fail_steps
+            smooth = res.smoothness
+            dev_mean = res.deviation_mean
+            dev_max = res.deviation_max
             if coll.ndim > 1:                 # fleet: per-robot flags
                 coll = coll.any(axis=1)
                 static_clear = static_clear.min(axis=1)
                 fails = fails.sum(axis=1)
+                smooth = smooth.mean(axis=1)
+                dev_mean = dev_mean.mean(axis=1)
+                dev_max = dev_max.max(axis=1)
             finite = jnp.isfinite(res.min_clearance) & valid
             finite_s = jnp.isfinite(static_clear) & valid
+            nv = jnp.maximum(jnp.sum(valid), 1)
             return (
                 jnp.sum(jnp.where(valid, res.success, False)) / true_n,
                 jnp.sum(jnp.where(valid, coll, False)) / true_n,
@@ -136,10 +143,16 @@ def main(argv=None) -> int:
                 / jnp.maximum(jnp.sum(finite_s), 1),
                 jnp.sum(jnp.where(valid, fails, 0)) / true_n,
                 jnp.sum(jnp.where(valid, res.steps_used, 0)) / true_n,
+                jnp.sum(jnp.where(valid[:, None], smooth, 0.0), axis=0) / nv,
+                jnp.sum(jnp.where(valid, dev_mean, 0.0)) / nv,
+                jnp.max(jnp.where(valid, dev_max, 0.0)),
             )
 
-        succ_m, coll_m, clear_m, sclear_m, fails_m, steps_m = (
-            float(x) for x in reduce_global(res))
+        (succ_m, coll_m, clear_m, sclear_m, fails_m, steps_m,
+         smooth_m, dev_m, dev_x) = reduce_global(res)
+        succ_m, coll_m, clear_m, sclear_m, fails_m, steps_m, dev_m, dev_x = (
+            float(x) for x in (succ_m, coll_m, clear_m, sclear_m, fails_m,
+                               steps_m, dev_m, dev_x))
         out = {
             "n_scenarios": true_n,
             "devices": n_dev,
@@ -152,6 +165,9 @@ def main(argv=None) -> int:
             "min_static_clearance_mean": sclear_m,
             "solver_fail_steps_mean": fails_m,
             "steps_used_mean": steps_m,
+            "smoothness_mean": [float(x) for x in smooth_m],
+            "deviation_mean": dev_m,
+            "deviation_max": dev_x,
             "wall_s_first": round(first, 2),
             "wall_s_steady": round(steady, 2),
             "control_steps_per_s": round(
@@ -167,10 +183,18 @@ def main(argv=None) -> int:
     static_clear = np.asarray(res.min_static_clearance)[:true_n]
     fail_steps = np.asarray(res.solver_fail_steps)[:true_n]
     steps_used = np.asarray(res.steps_used)[:true_n]
+    smooth = np.asarray(res.smoothness)[:true_n]
+    dev_mean = np.asarray(res.deviation_mean)[:true_n]
+    dev_max = np.asarray(res.deviation_max)[:true_n]
+    overflow = np.asarray(res.escalation_overflow_steps)[:true_n]
     if collided.ndim > 1:                     # fleet: per-robot flags
         collided = collided.any(axis=1)
         static_clear = static_clear.min(axis=1)
         fail_steps = fail_steps.sum(axis=1)
+        smooth = smooth.mean(axis=1)
+        dev_mean = dev_mean.mean(axis=1)
+        dev_max = dev_max.max(axis=1)
+        overflow = overflow.sum(axis=1)
 
     out = {
         "n_scenarios": true_n,
@@ -186,6 +210,14 @@ def main(argv=None) -> int:
         if np.isfinite(static_clear).any() else None,
         "solver_fail_steps_mean": float(fail_steps.mean()),
         "steps_used_mean": float(steps_used.mean()),
+        # Reference eval-protocol metrics (main_base.py:483-506): action
+        # smoothness [mean|Δ²v|, mean|Δ²ω|] averaged over episodes, and
+        # path-deviation mean/std (over per-episode means) + max (of maxes).
+        "smoothness_mean": [float(x) for x in smooth.mean(axis=0)],
+        "deviation_mean": float(dev_mean.mean()),
+        "deviation_std": float(dev_mean.std()),
+        "deviation_max": float(dev_max.max()) if len(dev_max) else None,
+        "escalation_overflow_steps_mean": float(overflow.mean()),
         "wall_s_first": round(first, 2),
         "wall_s_steady": round(steady, 2),
         "control_steps_per_s": round(

@@ -52,10 +52,25 @@ def child_main() -> int:
             process_id=int(os.environ["CHECK_PROCESS_ID"]),
         )
         assert jax.process_count() == num_procs, jax.process_count()
+        # Establish the cross-process (Gloo) collective context NOW, while
+        # both children are still cheap: the first collective pays the
+        # rendezvous, whose key-value GetKeyValue deadline is 30 s.  Without
+        # this, the children hit their first collective only after compiling
+        # the swept program — minutes on this 2-core host, with enough skew
+        # that one child times the other out (the deterministic r4 suite
+        # failure).  The warmed-up communicator covers the same global
+        # device clique the sweep's in-graph reductions use.
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("gloo_context_warmup")
 
     from dyobav_tpu.sim.sweep import main as sweep_main
+    # --no-multistart: the r4 in-scan multistart ~5x-ed the swept program's
+    # trace+compile cost; this check certifies cross-process statistic
+    # parity of the distributed path, not solver quality, so the lean
+    # program keeps compile skew (and suite wall time) small.
     argv = ["--n", os.environ["CHECK_N"], "--steps", os.environ["CHECK_STEPS"],
-            "--seed", "0", "--inner-iters", "6", "--outer-iters", "2"]
+            "--seed", "0", "--inner-iters", "6", "--outer-iters", "2",
+            "--no-multistart"]
     if num_procs > 1:
         argv.append("--distributed")
     return sweep_main(argv)

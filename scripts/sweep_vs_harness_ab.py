@@ -63,6 +63,20 @@ def main() -> int:
     if args.reuse_harness:
         with open(args.reuse_harness) as f:
             prev = json.load(f)
+        # Guard against an apples-to-oranges reuse (ADVICE r4): the prior
+        # artifact must cover the same protocol and every requested scenario.
+        for key in ("runs", "steps"):
+            if prev.get(key) != getattr(args, key):
+                raise SystemExit(
+                    f"--reuse-harness artifact has {key}={prev.get(key)} "
+                    f"but this invocation uses {key}={getattr(args, key)}")
+        missing = [s for s in args.scenarios.split(",")
+                   if s not in prev.get("scenarios", {})
+                   or "harness" not in prev["scenarios"][s]]
+        if missing:
+            raise SystemExit(
+                "--reuse-harness artifact lacks harness rows for "
+                f"scenarios {missing}")
 
     for s_idx in (int(x) for x in args.scenarios.split(",")):
         base = MainBase(max_run_time_step=args.steps, evaluation=True,
