@@ -122,6 +122,8 @@ def main() -> int:
                                escalation_slots=slots,
                                linear_solver=os.environ.get(
                                    "BENCH_LINSOLVE", _d.linear_solver),
+                               hessian_mode=os.environ.get(
+                                   "BENCH_HESSIAN", _d.hessian_mode),
                                fused=os.environ.get("BENCH_FUSED", "1") != "0")
     bundle = build_mpc_solver(cfg, robot, scfg)
     # Production batch semantics: warm-profile solve for every lane +

@@ -99,11 +99,22 @@ def human_waypoint_step(humans, wp_idx, paths, path_len, rng,
     return humans, wp_idx, rng
 
 
-def cv_predict_horizon(hist, N: int):
+def cv_predict_horizon(hist, N: int, n_valid=None):
     """Constant-velocity prediction from the 5-point history ring:
     (5, H, 2) -> (mu (N, H, 2), std (N, H, 2), alpha (N, H)), matching
-    CvmpInterface semantics (unit std)."""
-    vel = jnp.mean(hist[1:] - hist[:-1], axis=0)       # (H, 2)
+    CvmpInterface semantics (unit std).
+
+    n_valid: optional scalar count of REAL trailing steps in the ring
+    (<= 4).  The harness feeds cvmp `traj[-5:]` and averages over len-1
+    diffs (predictors/cvmp.py:27-33); a freshly-started episode has fewer
+    than 5 points, so dividing the telescoped (last - first) by 4 would
+    under-estimate the velocity for the first 4 steps.  None keeps the
+    full-ring mean (backfilled rings make the two identical from step 4)."""
+    if n_valid is None:
+        vel = jnp.mean(hist[1:] - hist[:-1], axis=0)   # (H, 2)
+    else:
+        denom = jnp.clip(n_valid, 1, hist.shape[0] - 1).astype(hist.dtype)
+        vel = (hist[-1] - hist[0]) / denom
     steps = jnp.arange(1, N + 1, dtype=hist.dtype)[:, None, None]
     mu = hist[-1][None] + vel[None] * steps
     return mu, jnp.ones_like(mu), jnp.ones(mu.shape[:2], mu.dtype)
@@ -494,7 +505,13 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
         """Per-lane pre-solve work: ref window + prediction + params."""
         window, ref_idx = ref_window(sc.ref_traj, sc.ref_len, st.ref_idx,
                                      st.robot)
-        prediction = predict_fn(st.human_hist)
+        if predictor is None:
+            # Harness-exact CV velocity: average over the REAL history
+            # steps (n_actions so far), not the backfilled ring length.
+            prediction = cv_predict_horizon(st.human_hist, N,
+                                            n_valid=st.n_actions)
+        else:
+            prediction = predict_fn(st.human_hist)
         return assemble_params(sc, st, window, prediction), ref_idx
 
     def apply_step(sc: Scenario, st: SimState, u, solver_ok, overflow,
@@ -515,8 +532,11 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
                                                   robot_new[:2]))
         inside_static = point_in_any_quad(robot_new[:2], sc.all_polys)
         collided_now = (d_humans <= HUMAN_SIZE) | inside_static
-        dist_goal = jnp.linalg.norm(robot_new[:2] - sc.goal[:2])
-        done_now = (dist_goal < 0.5) & (jnp.abs(action[0]) < 0.4)
+        # Termination mirrors the tracker's check exactly: np.allclose with
+        # atol=0.5 is a per-coordinate BOX test, not a Euclidean disk
+        # (trackers/mpc_tracker.py:161-167, trajectory_tracker.py:191-199).
+        done_now = (jnp.all(jnp.abs(robot_new[:2] - sc.goal[:2]) <= 0.5)
+                    & (jnp.abs(action[0]) < 0.4))
 
         # Reference eval-protocol accumulators (main_pre.py:34-53): action
         # smoothness |Δ²a| (valid once two prior actions exist, mirroring
@@ -646,6 +666,88 @@ def build_batch_sim(cfg: MpcConfiguration, robot_cfg: CircularRobotSpecification
         return result
 
     return run
+
+
+def build_step_program(cfg: MpcConfiguration,
+                       robot_cfg: CircularRobotSpecification,
+                       solver_cfg: SolverConfiguration | None = None,
+                       predictor=None, dtype=jnp.float32):
+    """ONE fused control step for DEPLOYMENT (B=1): prediction → dynamic
+    obstacle assembly → ref-window selection → multistart NMPC solve, as a
+    single jitted device program.
+
+    This is the certified-latency path of the step bench (`bench.py
+    BENCH_MODE=step`) exposed to the deployment node: the reference node
+    (main_ros.py:320-405) splits the tick across GPU (torch), CPU (sklearn)
+    and CPU (Rust solver); `sim.deploy.NavigationNode(fused_step=...)`
+    drives this program instead of the host-orchestrated tracker interface,
+    so the deployed tick and the latency-certified program are the SAME
+    code path (VERDICT r4 weak #5).  Unlike the batch sim there is no
+    simulated world step — the real world advances between ticks.
+
+    Returns (step, cold_start):
+      step(sc: Scenario, robot (3,), human_hist (5, H, 2), u_warm, u_prev,
+           ref_idx) -> (action (2,), u_warm_next, ref_idx_next,
+                        converged (), cost ())
+      cold_start(sc, robot, human_hist, u_init) -> u_warm  — the episode's
+           first solve at the cold escalation budget.
+    """
+    scfg = solver_cfg or SolverConfiguration()
+    N = cfg.N_hor
+    base_speed = robot_cfg.lin_vel_max * 0.8
+    q_vec = jnp.asarray(tuning_vector(cfg), dtype)
+    _, cold_solve_one, _, solve_batch_ms = build_lane_solvers(
+        cfg, robot_cfg, scfg, escalate=True, dtype=dtype)
+    predict_fn = (predictor if predictor is not None
+                  else lambda hist: cv_predict_horizon(hist, N))
+
+    def _params(sc: Scenario, robot, human_hist, u_prev, window):
+        prediction = predict_fn(human_hist)
+        dyn = assemble_dyn_obstacles(human_hist[-1], prediction, cfg.Ndynobs,
+                                     cfg.ndynobs, N, dtype)
+        return MpcParams(
+            u_prev=u_prev, s0=robot, sN=window[-1], q=q_vec,
+            ref_states=window,
+            ref_speed=jnp.full((N,), base_speed, dtype),
+            others0=jnp.zeros((cfg.Nother, cfg.ns), dtype),
+            others_pred=jnp.zeros((cfg.Nother, N, cfg.ns), dtype),
+            stc_obs=closest_obstacle_halfspaces(sc.all_polys, sc.all_stc,
+                                                robot, cfg.Nstcobs),
+            dyn_obs=dyn,
+            q_stc=jnp.full((N,), 10.0, dtype),
+            q_dyn=jnp.full((N,), 10.0, dtype),
+        )
+
+    @jax.jit
+    def step(sc: Scenario, robot, human_hist, u_warm, u_prev, ref_idx):
+        robot = robot.astype(dtype)
+        window, ref_idx_next = ref_window_select(
+            sc.ref_traj, sc.ref_len, ref_idx, robot, N, cfg.action_steps)
+        p = _params(sc, robot, human_hist.astype(dtype), u_prev.astype(dtype),
+                    window)
+        P1 = jax.tree.map(lambda x: x[None], p)
+        res, _ = solve_batch_ms(P1, u_warm.astype(dtype)[None],
+                                u_prev.astype(dtype)[None])
+        u = res.u[0]
+        action = u[:2]
+        action = jnp.where(action[0] < 0, jnp.zeros(2, dtype), action)
+        u_warm_next = jnp.concatenate([u[2:], u[-2:]])
+        return (action, u_warm_next, ref_idx_next, res.converged[0],
+                res.cost[0])
+
+    @jax.jit
+    def cold_start(sc: Scenario, robot, human_hist, u_init):
+        robot = robot.astype(dtype)
+        window, _ = ref_window_select(
+            sc.ref_traj, sc.ref_len, jnp.array(0, jnp.int32), robot, N,
+            cfg.action_steps)
+        u_prev = jnp.zeros(2, dtype)
+        p = _params(sc, robot, human_hist.astype(dtype), u_prev, window)
+        if cold_solve_one is None:
+            return u_init.astype(dtype)
+        return cold_solve_one(p, u_init.astype(dtype)).u
+
+    return step, cold_start
 
 
 def make_wta_predictor(net_apply, variables, ref_map_px, transform,

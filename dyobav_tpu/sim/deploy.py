@@ -52,10 +52,24 @@ class NavigationNode:
     step, publish the first action as a velocity command.
     """
 
-    def __init__(self, transport: Transport, tracker_interface,
+    def __init__(self, transport: Transport, tracker_interface=None,
                  predictor=None, ref_map=None, n_hor: int = 20,
                  history_len: int = 5, human_size: float = 0.2,
-                 scale2nn: float = 1.0):
+                 scale2nn: float = 1.0, fused_step=None, scenario=None,
+                 n_humans: int = 1):
+        """Two drive modes:
+
+        * tracker_interface (host-orchestrated): the reference-shaped loop —
+          predictor interface + tracker interface called per tick from the
+          host (many small device dispatches; ~seconds per tick over a
+          tunneled remote TPU).
+        * fused_step + scenario (certified-latency): `(step, cold_start)`
+          from `sim.batch.build_step_program` plus the static `Scenario`
+          tensors; the whole tick is ONE device program — the exact path
+          the step-latency bench certifies against the 0.2 s budget.
+        """
+        if tracker_interface is None and fused_step is None:
+            raise ValueError("need tracker_interface or fused_step")
         self.transport = transport
         self.tracker = tracker_interface
         self.predictor = predictor
@@ -66,6 +80,17 @@ class NavigationNode:
         self.robot_pose: Optional[np.ndarray] = None
         self.histories: Dict[str, collections.deque] = {}
         self.history_len = history_len
+        self.fused = None
+        if fused_step is not None:
+            import jax.numpy as jnp
+            step, cold = fused_step
+            self.fused = {
+                "step": step, "cold": cold, "scenario": scenario,
+                "n_humans": n_humans,
+                "u_warm": None,
+                "u_prev": jnp.zeros(2, jnp.float32),
+                "ref_idx": jnp.array(0, "int32"),
+            }
         transport.subscribe("robot_pose", self._on_robot_pose)
         transport.subscribe("actor_poses", self._on_actor_poses)
 
@@ -104,10 +129,49 @@ class NavigationNode:
                 dyn[i][t] = [mu[0], mu[1], std[0], std[1], 0, 1]
         return dyn
 
+    def _human_hist_tensor(self):
+        """(history_len, n_humans, 2) fixed-shape history tensor; missing
+        actors/samples pad FAR so their obstacle slots are inert."""
+        import jax.numpy as jnp
+        H = self.fused["n_humans"]
+        far = 1.0e6
+        out = np.full((self.history_len, H, 2), far, np.float32)
+        for i, hist in enumerate(list(self.histories.values())[:H]):
+            past = list(hist)
+            if not past:
+                continue
+            while len(past) < self.history_len:   # backfill like the sim
+                past.insert(0, past[0])
+            out[:, i, :] = np.asarray(past[-self.history_len:], np.float32)
+        return jnp.asarray(out)
+
+    def _fused_tick(self):
+        import jax.numpy as jnp
+        f = self.fused
+        robot = jnp.asarray(self.robot_pose, jnp.float32)
+        hist = self._human_hist_tensor()
+        if f["u_warm"] is None:                   # episode cold start
+            u_init = jnp.tile(jnp.asarray([1.2, 0.0], jnp.float32),
+                              self.n_hor)
+            f["u_warm"] = f["cold"](f["scenario"], robot, hist, u_init)
+        action, u_warm, ref_idx, ok, cost = f["step"](
+            f["scenario"], robot, hist, f["u_warm"], f["u_prev"],
+            f["ref_idx"])
+        f["u_warm"], f["ref_idx"] = u_warm, ref_idx
+        f["u_prev"] = action
+        a = np.asarray(action)
+        self.transport.publish("cmd_vel", {"v": float(a[0]),
+                                           "w": float(a[1])})
+        self.transport.publish("viz", {"cost": float(cost),
+                                       "converged": bool(ok)})
+        return a
+
     def control_tick(self, mode: str = "super"):
         """One control step; publishes cmd_vel and returns the action."""
         if self.robot_pose is None:
             return None
+        if self.fused is not None:
+            return self._fused_tick()
         self.tracker.set_current_state(self.robot_pose)
         dyn = self._predict_obstacles() if self.predictor else None
         actions, pred_states, cost, obs_list, refs = self.tracker.run_step(

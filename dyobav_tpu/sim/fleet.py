@@ -228,9 +228,10 @@ def build_fleet_sim(cfg: MpcConfiguration,
         collided_now = ((d_humans <= HUMAN_SIZE) | (d_robot <= collide_dist)
                         | inside_static)
 
-        dist_goal = jnp.linalg.norm(robots_new[:, :2] - sc.goals[:, :2],
-                                    axis=-1)
-        done_now = (dist_goal < 0.5) & (jnp.abs(actions[:, 0]) < 0.4)
+        # Box termination test, matching the tracker (see sim.batch).
+        done_now = (jnp.all(jnp.abs(robots_new[:, :2] - sc.goals[:, :2])
+                            <= 0.5, axis=-1)
+                    & (jnp.abs(actions[:, 0]) < 0.4))
 
         # Reference eval-protocol accumulators (see sim.batch.apply_step).
         jerk = jnp.abs(actions - 2.0 * st.u_prev + st.u_prev2)   # (R, 2)

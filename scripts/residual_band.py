@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Residual-tolerance band → control-deviation study (VERDICT r4 #5).
+
+`docs/bench_diag_r4.txt` showed exit_ok = 0.991 at the shipped convergence
+test but 0.949 at a strict residual tol of 1e-4: ~4% of warm lanes pass via
+the settledness probe while carrying a stationarity residual in
+(1e-4, ~0.5] control units.  This script asks the question that matters:
+do those lanes' CONTROLS differ from a deep-budget re-solve?
+
+Reproduces the headline bench's warm receding-horizon distribution
+(bench.py), finds the band lanes, re-solves them from the same warm start
+with the OpEn-default strong budget (30, 10, 10, 1, from-10 penalty ramp),
+and reports the first-action / full-sequence control deviation of the band
+vs that reference — the <1e-3 fidelity target's own units.
+
+    python scripts/residual_band.py --out docs/residual_band_r5.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--warm-steps", type=int, default=3)
+    ap.add_argument("--strict-tol", type=float, default=1e-4)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    import jax.numpy as jnp
+
+    from dyobav_tpu.configs import (CircularRobotSpecification,
+                                    MpcConfiguration, SolverConfiguration)
+    from dyobav_tpu.motion.models import unicycle_step
+    from dyobav_tpu.ops.engine import build_mpc_solver
+    from dyobav_tpu.ops.params import empty_params, pack, tuning_vector
+
+    cfg = MpcConfiguration()
+    robot = CircularRobotSpecification()
+    batch = args.batch
+    N = cfg.N_hor
+
+    scfg = SolverConfiguration()
+    bundle = build_mpc_solver(cfg, robot, scfg)
+    strong = build_mpc_solver(cfg, robot, SolverConfiguration(
+        max_inner_iters=30, max_outer_iters=10, inner_iters_later=10,
+        newton_substeps=1, initial_penalty=10.0, cold_profile=None,
+        escalation_ladder=()))
+
+    # bench.py's randomized receding-horizon distribution, verbatim.
+    rng = np.random.default_rng(0)
+    x0s = rng.uniform(-5, 5, batch)
+    y0s = rng.uniform(-5, 5, batch)
+    headings = rng.uniform(-np.pi, np.pi, batch)
+    coss, sins = np.cos(headings), np.sin(headings)
+    obs_xy = np.stack([x0s + coss * 2.2 - sins * 0.3,
+                       y0s + sins * 2.2 + coss * 0.3], axis=1)
+
+    def make_Z(states, u_prev, k):
+        zs = []
+        steps = np.arange(k + 1, k + N + 1)
+        for b in range(batch):
+            p = empty_params(cfg)
+            ref = np.zeros((N, 3), np.float32)
+            ref[:, 0] = x0s[b] + coss[b] * 0.24 * steps
+            ref[:, 1] = y0s[b] + sins[b] * 0.24 * steps
+            ref[:, 2] = headings[b]
+            ell = np.zeros((cfg.Ndynobs, N + 1, cfg.ndynobs), np.float32)
+            ell[0, :, :] = [obs_xy[b, 0], obs_xy[b, 1], 0.4, 0.4, 0.0, 1.0]
+            p = p._replace(
+                u_prev=jnp.asarray(u_prev[b], jnp.float32),
+                s0=jnp.asarray(states[b], jnp.float32),
+                sN=jnp.asarray(ref[-1], jnp.float32),
+                q=jnp.asarray(tuning_vector(cfg), jnp.float32),
+                ref_states=jnp.asarray(ref),
+                ref_speed=jnp.full((N,), 1.2, jnp.float32),
+                dyn_obs=jnp.asarray(ell),
+                q_stc=jnp.full((N,), 10.0, jnp.float32),
+                q_dyn=jnp.full((N,), 10.0, jnp.float32),
+            )
+            zs.append(np.asarray(pack(p)))
+        return jnp.asarray(np.stack(zs))
+
+    states = np.stack([x0s, y0s, headings], axis=1).astype(np.float32)
+    u_prev = np.tile(np.array([1.2, 0.0], np.float32), (batch, 1))
+    Z = make_Z(states, u_prev, 0)
+    U0 = jnp.tile(jnp.asarray(np.tile([1.2, 0.0], N), jnp.float32),
+                  (batch, 1))
+    solve_fn = bundle.solve_batch_escalated
+    sol = solve_fn(Z, U0)
+    step_batch = jax.jit(jax.vmap(lambda s, u: unicycle_step(s, u, cfg.ts)))
+    for k in range(args.warm_steps):
+        u = np.asarray(sol.u)
+        states = np.asarray(step_batch(jnp.asarray(states),
+                                       jnp.asarray(u[:, :cfg.nu])))
+        u_prev = u[:, :cfg.nu]
+        U0 = jnp.asarray(np.concatenate([u[:, cfg.nu:], u[:, -cfg.nu:]],
+                                        axis=1))
+        Z = make_Z(states, u_prev, k + 1)
+        sol = solve_fn(Z, U0)
+    sol.u.block_until_ready()
+
+    exit_ok = np.asarray(sol.exit_ok)
+    res = np.asarray(sol.residual)
+    band = exit_ok & (res > args.strict_tol)
+    n_band = int(band.sum())
+    print(f"exit_ok {exit_ok.mean():.3f}; strict exit_ok "
+          f"{(exit_ok & (res <= args.strict_tol)).mean():.3f}; "
+          f"band lanes {n_band}", file=sys.stderr)
+
+    # Deep re-solve: the band lanes AND (for calibration) an equal-sized
+    # sample of strictly-converged lanes — the deep solver's own noise
+    # floor vs the shipped profile.
+    idx_band = np.nonzero(band)[0]
+    idx_ok = np.nonzero(exit_ok & (res <= args.strict_tol))[0]
+    idx_cal = idx_ok[:max(n_band, 1)]
+
+    def deviation(idx):
+        if len(idx) == 0:
+            return None
+        deep = strong.solve_batch(Z[idx], U0[idx])
+        ok = np.asarray(deep.exit_ok)
+        du = np.abs(np.asarray(deep.u) - np.asarray(sol.u)[idx])
+        first = du[:, :cfg.nu].max(axis=1)      # the action actually applied
+        full = du.max(axis=1)
+        return {
+            "n": int(len(idx)),
+            "deep_converged": float(ok.mean()),
+            "first_action_dev_mean": float(first.mean()),
+            "first_action_dev_p95": float(np.percentile(first, 95)),
+            "first_action_dev_max": float(first.max()),
+            "full_seq_dev_mean": float(full.mean()),
+            "full_seq_dev_max": float(full.max()),
+        }
+
+    band_stats = deviation(idx_band)
+    cal_stats = deviation(idx_cal)
+
+    out = {
+        "batch": batch,
+        "warm_steps": args.warm_steps,
+        "strict_tol": args.strict_tol,
+        "exit_ok_shipped": float(exit_ok.mean()),
+        "exit_ok_strict": float((exit_ok & (res <= args.strict_tol)).mean()),
+        "band_lanes": n_band,
+        "band_residual_p50": float(np.median(res[band])) if n_band else None,
+        "band_residual_max": float(res[band].max()) if n_band else None,
+        "band_vs_deep": band_stats,
+        "calibration_strict_vs_deep": cal_stats,
+        "platform": __import__("jax").devices()[0].platform,
+    }
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -103,3 +103,41 @@ def test_scene_maps_geometry():
     for name in ("ftd", "crosswalk", "crossing_scene"):
         bb, oo = get_preset(name)
         assert len(bb) >= 4
+
+
+def test_navigation_node_fused_step():
+    """Fused mode: the node drives the one-device-program control step
+    (build_step_program) — the certified-latency deployment path."""
+    import jax.numpy as jnp
+
+    from dyobav_tpu.configs import SolverConfiguration
+    from dyobav_tpu.sim.batch import Scenario, build_step_program
+    from dyobav_tpu.sim.harness import MainBase
+    from dyobav_tpu.sim.scenarios import build_scenario
+
+    base = MainBase(max_run_time_step=3, evaluation=True, seed=0)
+    sc = build_scenario(base, scenario_index=0)
+    scenario = Scenario(*[jnp.asarray(x) for x in sc])
+    fused = build_step_program(
+        base.config_mpc, base.config_robot,
+        SolverConfiguration(max_inner_iters=3, max_outer_iters=2,
+                            inner_iters_later=2,
+                            cold_profile=(4, 3, 2, 1, 10.0),
+                            escalation_ladder=((4, 3, 2, 1, 10.0),)))
+
+    transport = LocalTransport()
+    node = NavigationNode(transport, fused_step=fused, scenario=scenario,
+                          n_humans=int(sc.human_starts.shape[0]))
+    assert node.control_tick() is None          # no pose yet
+
+    r = np.asarray(sc.robot_start, float)
+    h = np.asarray(sc.human_starts, float)
+    transport.publish("robot_pose", {"x": r[0], "y": r[1], "theta": r[2]})
+    transport.publish("actor_poses", {
+        "poses": {f"a{i}": (p[0], p[1]) for i, p in enumerate(h)}})
+    actions = [node.control_tick() for _ in range(3)]
+    for a in actions:
+        assert a is not None and np.all(np.isfinite(a))
+        assert a[0] >= 0.0                       # no-reverse override
+    assert len(transport.published["cmd_vel"]) == 3
+    assert "converged" in transport.published["viz"][-1]
