@@ -279,19 +279,27 @@ class SolverConfiguration:
     schulz_iters: int = 14          # Newton–Schulz iterations (error squares
                                     # each iteration from the Gershgorin
                                     # starting point)
-    hessian_mode: str = "structured"
-                                    # "structured": exact merit Hessian
-                                    # assembled from the chain structure —
-                                    # ∇²φ of the all-parallel state-space
-                                    # objective + per-step dynamics
+    hessian_mode: str = "block"
+                                    # Exact merit Hessian implementation
+                                    # (all three produce the same matrix
+                                    # to float tolerance, tests/
+                                    # test_hessian.py):
+                                    # "block" (default): N vmapped 7×7
+                                    # per-step Hessians over (x_k, u_k,
+                                    # u_{k-1}) + weight-linearized penalty
+                                    # blocks + rank-M penalty outer
+                                    # products, mapped through the
+                                    # trajectory Jacobian; dynamics
                                     # curvature via the second-order
-                                    # adjoint (ops.newton.
-                                    # make_structured_hessian); no AD
-                                    # tangents through the rollout scan.
+                                    # adjoint (costs.make_block_curvature,
+                                    # newton.make_structured_hessian).
+                                    # Measured v5e B=4096: 12.8 ms vs
+                                    # jacfwd 14.7 / structured 19.3 (CPU:
+                                    # 30 vs 89 / 79 ms at B=256).
+                                    # "structured": same chain assembly
+                                    # but ∇²φ via 40 HVPs of the full φ.
                                     # "jacfwd": forward-over-reverse AD
-                                    # through the rollout (the r1-r4
-                                    # implementation; same matrix to float
-                                    # tolerance, kept as cross-check).
+                                    # through the rollout scan (r1-r4).
     cold_profile: Any = (12, 6, 5, 1, 10.0)
                                     # (inner, outer, later, substeps[,
                                     # penalty]) used for the FIRST solve of

@@ -233,14 +233,15 @@ def evaluate_states(states: jnp.ndarray, u_flat: jnp.ndarray, p: MpcParams,
 
 def split_objective(p: MpcParams, cfg: MpcConfiguration,
                     robot: CircularRobotSpecification):
-    """(phi, rollout, step, s0) — the structured form of the NMPC objective
-    consumed by `ops.newton`'s structured Hessian.
+    """(phi, rollout, step, s0, blocks) — the structured form of the NMPC
+    objective consumed by `ops.newton`'s structured/block Hessians.
 
     phi(X, u)  : state-space objective (no rollout inside; all-parallel ops)
     rollout(u) : (nu*N,) -> (N, ns) horizon states
     step(x, a) : one dynamics step (the scan body), for per-step Jacobian /
                  curvature extraction
     s0         : (ns,) initial state
+    blocks     : `make_block_curvature(p, cfg, robot)` (block mode)
     """
     from ..motion.models import unicycle_step
 
@@ -256,7 +257,124 @@ def split_objective(p: MpcParams, cfg: MpcConfiguration,
     def step(x, a):
         return unicycle_step(x, a, ts)
 
-    return phi, roll, step, p.s0
+    return phi, roll, step, p.s0, make_block_curvature(p, cfg, robot)
+
+
+def make_block_curvature(p: MpcParams, cfg: MpcConfiguration,
+                         robot: CircularRobotSpecification):
+    """Per-horizon-step curvature of the ALM merit — the "block" Hessian
+    mode's workhorse (see `ops.newton.make_structured_hessian`).
+
+    Every merit term except the squared penalty channel Σᵢ F_i² is
+    separable per step k over the 7 variables (x_k, u_k, u_{k-1}); its
+    curvature is N vmapped 7×7 Hessians — tangent width 7 through 1/N of
+    the objective each, ~6x less derivative work than 40 Hessian-vector
+    products of the full φ.  The penalty channel's curvature splits exactly
+    into (a) per-step blocks of the WEIGHTED-linearized hinges
+    c·Σᵢ wᵢ∇²F_i (weights wᵢ = F_i frozen at the evaluation point, folded
+    into the same 7×7 blocks) and (b) the rank-M_dyn outer-product part
+    c·Σᵢ ∇F_i∇F_iᵀ returned as per-step hinge gradients.
+
+    Returns block_fn(X, u_flat, y, c) -> (C7 (N, 7, 7), gF (N, M, ns)):
+      C7: per-step Hessians over (x_k, u_k, u_{k-1})
+      gF: ∇_{x_k} F_i rows (the rank part, projected by the caller)
+    Exactness: Σ_k S7ᵀC7S7 + c·Σᵢ(Jᵀg_i)(Jᵀg_i)ᵀ == Gᵀ(∇²φ_merit)G to
+    float tolerance (tests/test_hessian.py).
+    """
+    N, nu, ns = cfg.N_hor, cfg.nu, cfg.ns
+    ts = cfg.ts
+    n_edges = cfg.nstcobs // 3
+    margin_soft = robot.vehicle_margin + robot.social_margin
+    vw2 = robot.vehicle_width ** 2
+    (qpos, qvel, qtheta, rv, rw, qN, qthetaN, qrpd,
+     acc_pen, w_acc_pen) = [p.q[i] for i in range(10)]
+    c_lo, c_hi = acceleration_bounds(cfg, robot, p.ref_states.dtype)
+
+    ref_pts = jnp.concatenate([p.ref_states[:, :2], p.ref_states[-1:, :2]],
+                              axis=0)
+    seg_a, seg_b = ref_pts[:-1], ref_pts[1:]
+    seg_d = seg_b - seg_a
+    seg_len_sq = jnp.sum(seg_d * seg_d, axis=-1) + 1e-16
+    others_k_all = jnp.swapaxes(p.others_pred[..., :2], 0, 1)  # (N, No, 2)
+    ell_cur = p.dyn_obs[:, 0, :]                               # (M, 6)
+    ell_pred_all = jnp.swapaxes(p.dyn_obs[:, 1:, :], 0, 1)     # (N, M, 6)
+
+    def hinges_k(x_k, k):
+        """(s_k, d_k (M,)): step k's contributions to S and D_i."""
+        xy = x_k[:2][None]
+        stc = _polygon_residuals(xy, p.stc_obs, n_edges)[0]
+        cur = _ellipse_indicator(xy, ell_cur[None], 0.0)[0]
+        prd = _ellipse_indicator(xy, ell_pred_all[k][None], 0.0)[0]
+        return jnp.sum(stc), (jnp.maximum(0.0, cur) + jnp.maximum(0.0, prd))
+
+    def phi_k(zz, k, y, c, w, wtot):
+        """Step k's slice of the merit (each original term appears in
+        exactly one phi_k; the penalty channel enters weight-linearized)."""
+        x_k, u_k, u_km1 = zz[:ns], zz[ns:ns + nu], zz[ns + nu:]
+        xy = x_k[:2]
+        # refpath: min over segments j >= k (shrinking window, evaluate()).
+        rel = xy[None] - seg_a
+        t = jnp.clip(jnp.sum(rel * seg_d, axis=-1) / seg_len_sq, 0.0, 1.0)
+        closest = seg_a + t[:, None] * seg_d
+        dist_sq = jnp.sum((xy[None] - closest) ** 2, axis=-1)
+        masked = jnp.where(jnp.arange(N) >= k, dist_sq, jnp.inf)
+        cost = qrpd * jnp.min(masked)
+        cost += qvel * (u_k[0] - p.ref_speed[k]) ** 2
+        cost += rv * u_k[0] ** 2 + rw * u_k[1] ** 2
+        # fleet: current (skip slot 0, weight 1000) + predictive (step k).
+        dcur = xy[None] - p.others0[1:, :2]
+        cost += 1000.0 * jnp.sum(jnp.maximum(
+            0.0, vw2 - jnp.sum(dcur * dcur, axis=-1)))
+        dprd = xy[None] - others_k_all[k]
+        cost += 10.0 * jnp.sum(jnp.maximum(
+            0.0, vw2 - jnp.sum(dprd * dprd, axis=-1)))
+        # static polygons.
+        stc_prod = _polygon_residuals(xy[None], p.stc_obs, n_edges)[0]
+        cost += p.q_stc[k] * jnp.sum(stc_prod ** 2)
+        # dynamic ellipses: current (soft margin, weight 1000·α) +
+        # predictive (vehicle margin, weight q_dyn·α).
+        ind_cur_soft = _ellipse_indicator(xy[None], ell_cur[None],
+                                          margin_soft)[0]
+        cost += 1000.0 * jnp.sum(ell_cur[:, 5]
+                                 * jnp.maximum(0.0, ind_cur_soft) ** 2)
+        ind_prd_soft = _ellipse_indicator(xy[None], ell_pred_all[k][None],
+                                          robot.vehicle_margin)[0]
+        cost += p.q_dyn[k] * jnp.sum(ell_pred_all[k][:, 5]
+                                     * jnp.maximum(0.0, ind_prd_soft) ** 2)
+        # terminal (k = N-1 only).
+        term = (qN * ((x_k[0] - p.sN[0]) ** 2 + (x_k[1] - p.sN[1]) ** 2)
+                + qthetaN * (x_k[2] - p.sN[2]) ** 2)
+        cost += jnp.where(k == N - 1, term, 0.0)
+        # acceleration cost + this step's ALM components.
+        acc = (u_k[0] - u_km1[0]) / ts
+        wacc = (u_k[1] - u_km1[1]) / ts
+        cost += acc_pen * acc ** 2 + w_acc_pen * wacc ** 2
+        sh_a = acc + y[k] / c
+        sh_w = wacc + y[N + k] / c
+        alm_a = sh_a - jnp.clip(sh_a, c_lo[k], c_hi[k])
+        alm_w = sh_w - jnp.clip(sh_w, c_lo[N + k], c_hi[N + k])
+        cost += 0.5 * c * (alm_a ** 2 + alm_w ** 2)
+        # penalty channel, weight-linearized: c·Σᵢ wᵢ (s_k + d_ik).
+        s_k, d_k = hinges_k(x_k, k)
+        cost += c * (wtot * s_k + jnp.dot(w, d_k))
+        return cost
+
+    def block_fn(X, u_flat, y, c):
+        U = u_flat.reshape(N, nu)
+        U_km1 = jnp.concatenate([p.u_prev[None].astype(U.dtype), U[:-1]],
+                                axis=0)
+        ZZ = jnp.concatenate([X, U, U_km1], axis=1)          # (N, 7)
+        ks = jnp.arange(N)
+        s_all, d_all = jax.vmap(hinges_k)(X, ks)             # (N,), (N, M)
+        w = jax.lax.stop_gradient(jnp.sum(s_all) + jnp.sum(d_all, axis=0))
+        wtot = jnp.sum(w)
+        C7 = jax.vmap(lambda zz, k: jax.hessian(
+            lambda z_: phi_k(z_, k, y, c, w, wtot))(zz))(ZZ, ks)
+        gs, gd = jax.vmap(jax.jacfwd(hinges_k, argnums=0))(X, ks)
+        gF = gs[:, None, :] + gd                             # (N, M, ns)
+        return C7, gF
+
+    return block_fn
 
 
 def constraint_residuals(u_flat: jnp.ndarray, p: MpcParams,

@@ -81,7 +81,7 @@ class NewtonResult(NamedTuple):
     converged: jnp.ndarray
 
 
-def make_structured_hessian(split, proj_rect):
+def make_structured_hessian(split, proj_rect, mode: str = "structured"):
     """Exact merit Hessian assembled from the PROBLEM STRUCTURE instead of
     forward-over-reverse AD through the rollout scan.
 
@@ -110,7 +110,8 @@ def make_structured_hessian(split, proj_rect):
     curvature, so this equals jacfwd(grad(merit)) to float tolerance
     (tests/test_newton.py::test_structured_hessian_matches_jacfwd).
     """
-    phi, roll, step, s0 = split
+    phi, roll, step, s0 = split[:4]
+    blocks = split[4] if len(split) > 4 and mode == "block" else None
 
     def merit_x(X, u, y, c):
         f, f1, f2 = phi(X, u)
@@ -153,13 +154,29 @@ def make_structured_hessian(split, proj_rect):
         G = jnp.concatenate([J.reshape(N * ns, n),
                              jnp.eye(n, dtype=dtype)], axis=0)  # (N·ns+n, n)
 
-        # Gᵀ(∇²φ)G without materializing the (N·ns+n)² matrix: n
-        # Hessian-vector products of φ along G's columns — the same tangent
-        # count as jacfwd-of-grad(merit), but through the ALL-PARALLEL φ
-        # instead of through the rollout scan and its transpose.
-        gz, hvp = jax.linearize(jax.grad(merit_z), z)
-        W = jax.vmap(hvp)(G.T)                         # (n, N·ns+n)
-        H_cost = W @ G                                 # (n, n)
+        if blocks is None:
+            # Gᵀ(∇²φ)G without materializing the (N·ns+n)² matrix: n
+            # Hessian-vector products of φ along G's columns — the same
+            # tangent count as jacfwd-of-grad(merit), but through the
+            # ALL-PARALLEL φ instead of the rollout scan + its transpose.
+            gz, hvp = jax.linearize(jax.grad(merit_z), z)
+            W = jax.vmap(hvp)(G.T)                     # (n, N·ns+n)
+            H_cost = W @ G                             # (n, n)
+        else:
+            # Block mode: ∇²φ assembled from N per-step 7×7 Hessians (the
+            # merit is separable over (x_k, u_k, u_{k-1}) except for the
+            # penalty channel, whose curvature splits into weight-
+            # linearized per-step blocks + a rank-M outer-product part) —
+            # tangent width 7 through 1/N of φ each instead of n=40 HVPs
+            # through all of it.  See costs.make_block_curvature.
+            gz = jax.grad(merit_z)(z)
+            C7, gF = blocks(X, u, y, c)
+            E_prev = jnp.concatenate(
+                [jnp.zeros((1, nu, n), dtype), E[:-1]], axis=0)
+            S7 = jnp.concatenate([J, E, E_prev], axis=1)   # (N, ns+2nu, n)
+            H_cost = jnp.einsum("kpi,kpq,kqj->ij", S7, C7, S7)
+            V = jnp.einsum("kri,kmr->mi", J, gF)           # (M, n)
+            H_cost = H_cost + c * (V.T @ V)
         lam = gz[:N * ns].reshape(N, ns)
 
         def qbody(qnext, inp):
@@ -228,10 +245,10 @@ def make_alm_newton_solver(
         return f + 0.5 * c * (jnp.sum(alm * alm) + jnp.sum(f2 * f2))
 
     merit_grad = jax.value_and_grad(merit_fn)
-    if split is not None and getattr(scfg, "hessian_mode",
-                                     "structured") == "structured":
+    hmode = getattr(scfg, "hessian_mode", "structured")
+    if split is not None and hmode in ("structured", "block"):
         # Structure-exploiting exact Hessian: no tangents through any scan.
-        merit_hess = make_structured_hessian(split, proj_rect)
+        merit_hess = make_structured_hessian(split, proj_rect, hmode)
     else:
         # Forward-over-reverse: n JVP columns through the rollout scan.
         merit_hess = jax.jacfwd(jax.grad(merit_fn))

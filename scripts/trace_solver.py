@@ -28,10 +28,12 @@ PROFILES = {
     "full": (12, 4, 5, 1),
     "lean": (6, 3, 3, 1),
     "chord": (3, 2, 2, 2),
+    "default": None,          # SolverConfiguration() as shipped
 }
 
 
-def build_and_run(batch: int, profile: str, log_dir: str):
+def build_and_run(batch: int, profile: str, log_dir: str,
+                  hessian: str = ""):
     import jax
     import jax.numpy as jnp
 
@@ -43,9 +45,15 @@ def build_and_run(batch: int, profile: str, log_dir: str):
 
     cfg = MpcConfiguration()
     robot = CircularRobotSpecification()
-    inner, outer, later, sub = PROFILES[profile]
-    scfg = SolverConfiguration(max_inner_iters=inner, max_outer_iters=outer,
-                               inner_iters_later=later, newton_substeps=sub)
+    kw = {"hessian_mode": hessian} if hessian else {}
+    if PROFILES[profile] is None:
+        scfg = SolverConfiguration(**kw)
+    else:
+        inner, outer, later, sub = PROFILES[profile]
+        scfg = SolverConfiguration(max_inner_iters=inner,
+                                   max_outer_iters=outer,
+                                   inner_iters_later=later,
+                                   newton_substeps=sub, **kw)
     bundle = build_mpc_solver(cfg, robot, scfg)
 
     rng = np.random.default_rng(0)
@@ -116,6 +124,7 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--profile", default="chord", choices=sorted(PROFILES))
     ap.add_argument("--log-dir", default="/tmp/dyobav_trace")
+    ap.add_argument("--hessian", default="", help="hessian_mode override")
     ap.add_argument("--platform", default="")
     args = ap.parse_args()
 
@@ -123,9 +132,10 @@ def main() -> int:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     os.makedirs(args.log_dir, exist_ok=True)
-    build_and_run(args.batch, args.profile, args.log_dir)
+    build_and_run(args.batch, args.profile, args.log_dir, args.hessian)
     out = aggregate(args.log_dir)
-    out.update({"batch": args.batch, "profile": args.profile})
+    out.update({"batch": args.batch, "profile": args.profile,
+                "hessian": args.hessian or "default"})
     print(json.dumps(out))
     return 0
 

@@ -71,7 +71,11 @@ def test_structured_hessian_matches_jacfwd():
     for seed in range(3):
         z = _problem(seed)
         merit_fn, split, proj_rect, c_lo = _merit_pieces(z)
-        hess_struct = jax.jit(make_structured_hessian(split, proj_rect))
+        hessians = {
+            "structured": jax.jit(make_structured_hessian(split, proj_rect)),
+            "block": jax.jit(make_structured_hessian(split, proj_rect,
+                                                     "block")),
+        }
         hess_jacfwd = jax.jit(jax.jacfwd(jax.grad(merit_fn)))
 
         rng = np.random.default_rng(100 + seed)
@@ -80,30 +84,33 @@ def test_structured_hessian_matches_jacfwd():
             + rng.normal(0, 0.1, n).astype(np.float32))
         y = jnp.asarray(rng.normal(0, 1.0, c_lo.shape[0]).astype(np.float32))
         for c in (10.0, 1250.0):
-            Hs = np.asarray(hess_struct(u, y, jnp.float32(c)))
             Hj = np.asarray(hess_jacfwd(u, y, jnp.float32(c)))
             scale = max(np.abs(Hj).max(), 1.0)
-            # Same matrix up to f32 accumulation-order noise; the penalty
-            # terms reach curvature ~1e6, so tolerance is scale-aware.
-            np.testing.assert_allclose(Hs, Hj, rtol=5e-4,
-                                       atol=5e-5 * scale)
+            for name, hess in hessians.items():
+                Hs = np.asarray(hess(u, y, jnp.float32(c)))
+                # Same matrix up to f32 accumulation-order noise; penalty
+                # terms reach curvature ~1e6, so tolerance is scale-aware.
+                np.testing.assert_allclose(
+                    Hs, Hj, rtol=5e-4, atol=5e-5 * scale,
+                    err_msg=f"{name} c={c}")
 
 
 def test_structured_solver_matches_jacfwd_solver():
     base = dict(max_inner_iters=6, max_outer_iters=3, inner_iters_later=3,
                 newton_substeps=2, initial_penalty=10.0, cold_profile=None)
-    b_struct = build_mpc_solver(
-        CFG, ROBOT, SolverConfiguration(hessian_mode="structured", **base))
     b_jacfwd = build_mpc_solver(
         CFG, ROBOT, SolverConfiguration(hessian_mode="jacfwd", **base))
-    u0 = jnp.tile(jnp.array([1.2, 0.0], jnp.float32), CFG.N_hor)
-    for seed in range(3):
-        z = _problem(seed)
-        a = b_struct.solve(z, u0)
-        b = b_jacfwd.solve(z, u0)
-        # Identical Hessians (to f32 noise) → same LM trajectory; controls
-        # agree to well below the 1e-3 control-fidelity target.
-        np.testing.assert_allclose(np.asarray(a.u), np.asarray(b.u),
-                                   atol=5e-3)
-        np.testing.assert_allclose(float(a.cost), float(b.cost),
-                                   rtol=1e-3, atol=1e-4)
+    for mode in ("structured", "block"):
+        b_mode = build_mpc_solver(
+            CFG, ROBOT, SolverConfiguration(hessian_mode=mode, **base))
+        u0 = jnp.tile(jnp.array([1.2, 0.0], jnp.float32), CFG.N_hor)
+        for seed in range(3):
+            z = _problem(seed)
+            a = b_mode.solve(z, u0)
+            b = b_jacfwd.solve(z, u0)
+            # Identical Hessians (to f32 noise) → same LM trajectory;
+            # controls agree well below the 1e-3 fidelity target.
+            np.testing.assert_allclose(np.asarray(a.u), np.asarray(b.u),
+                                       atol=5e-3, err_msg=mode)
+            np.testing.assert_allclose(float(a.cost), float(b.cost),
+                                       rtol=1e-3, atol=1e-4, err_msg=mode)
