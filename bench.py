@@ -36,7 +36,18 @@ import numpy as np
 
 
 def main() -> int:
+    # BENCH_PLATFORM=cpu (+ BENCH_HOST_DEVICES=8) runs the same bench on
+    # the virtual-device CPU mesh — the weak-scaling/statistic-parity
+    # check for the BENCH_DEVICES path without pod hardware.  Must happen
+    # before first backend use (env vars are consumed at interpreter
+    # startup in this container; jax.config still works).
+    host_dev = os.environ.get("BENCH_HOST_DEVICES", "")
+    if host_dev:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + f" --xla_force_host_platform_device_count={host_dev}").strip()
     import jax
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
 
     # Persistent compilation cache: the remote-TPU first compile of the

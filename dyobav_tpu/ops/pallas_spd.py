@@ -116,6 +116,14 @@ def _spd_solve_blocked(A: jnp.ndarray, g: jnp.ndarray,
             pltpu.VMEM((n, n, _SUB, _LANE), A.dtype),
             pltpu.VMEM((n, _SUB, _LANE), A.dtype),
         ],
+        # Steady-state VMEM = input block (n²·1024·4B ≈ 6.6 MB at n=40)
+        # + its double-buffered successor + the chol scratch ≈ 20 MB,
+        # over the 16 MB default scoped limit once the grid pipelines
+        # (measured: grid 8 = 8192 systems OOMs the default, grid ≤ 4
+        # fits).  v5e VMEM is 128 MB; raise the cap so batch size never
+        # changes kernel feasibility.
+        compiler_params=(None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)),
         interpret=interpret,
     )(At, gt)
 
