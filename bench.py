@@ -66,7 +66,12 @@ def main() -> int:
     from dyobav_tpu.ops.engine import build_mpc_solver
     from dyobav_tpu.ops.params import empty_params, pack, tuning_vector
 
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    # Default batch 2048 (r5): the measured single-chip knee with the block
+    # Hessian + raised Pallas VMEM cap — 17,466 solves/s @ exit_ok 0.991 vs
+    # 16,444 @ 0.990 (B=1024) and 17,036 @ 0.990 (B=4096).  merit/grad are
+    # latency-bound (flat to B=4096, docs/hessian_probe_tpu_r5.json), so
+    # width amortizes everything but the Hessian.
+    batch = int(os.environ.get("BENCH_BATCH", "2048"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
 
     if os.environ.get("BENCH_MODE") == "step":

@@ -35,6 +35,24 @@ from ..configs import SolverConfiguration
 _LM_LADDER = (0.2, 1.0, 5.0, 50.0)
 
 
+def _vzero(v):
+    """Varying scalar zero derived from `v` (shard_map compatibility).
+
+    Under `jax.shard_map` every value carries a manual-axes variance type;
+    a `lax.scan` carry initialized from closure constants is UNVARYING
+    while the body's outputs (functions of the sharded inputs) are
+    VARYING, which is a type error.  Adding this zero (free after
+    constant folding of everything but the variance) makes an init
+    inherit the input's variance; outside shard_map it is a no-op.
+    """
+    return v.reshape(-1)[0] * 0
+
+
+def _vfalse(v):
+    """Varying boolean False derived from `v` (see `_vzero`)."""
+    return _vzero(v) != 0
+
+
 def schulz_spd_solve(A: jnp.ndarray, g: jnp.ndarray,
                      iters: int = 14) -> jnp.ndarray:
     """SPD solve A⁻¹g via Newton–Schulz inverse iteration — matmuls only.
@@ -150,7 +168,8 @@ def make_structured_hessian(split, proj_rect, mode: str = "structured"):
             Jk = Ak @ Jprev + Bk @ Ek
             return Jk, Jk
 
-        _, J = jax.lax.scan(jbody, jnp.zeros((ns, n), dtype), (A, Bm, E))
+        _, J = jax.lax.scan(jbody, jnp.zeros((ns, n), dtype) + _vzero(u),
+                            (A, Bm, E))
         G = jnp.concatenate([J.reshape(N * ns, n),
                              jnp.eye(n, dtype=dtype)], axis=0)  # (N·ns+n, n)
 
@@ -382,7 +401,8 @@ def make_alm_newton_solver(
 
             return (u_new, psi_new, g_new, lam_new, done_new), r_norm
 
-        init = (u0, psi0, g0, jnp.asarray(1e-3, u0.dtype), jnp.array(False))
+        init = (u0, psi0, g0, jnp.asarray(1e-3, u0.dtype) + _vzero(u0),
+                _vfalse(u0))
         (u, _, g, _, _), r_hist = jax.lax.scan(
             iteration, init, None, length=n_iters)
         return u, scaled_residual(u, y, c)
@@ -420,8 +440,9 @@ def make_alm_newton_solver(
         boundary[np.cumsum(n_stage_iters) - 1] = True
 
         u = proj_box(u0)
-        y0 = jnp.zeros_like(c_lo).astype(dtype)
-        c0 = jnp.asarray(scfg.initial_penalty, dtype)
+        vz = _vzero(u)
+        y0 = jnp.zeros_like(c_lo).astype(dtype) + vz
+        c0 = jnp.asarray(scfg.initial_penalty, dtype) + vz
         psi0, g0 = merit_grad(u, y0, c0)
 
         def body(carry, is_boundary):
@@ -500,8 +521,8 @@ def make_alm_newton_solver(
                     prev_inf_new, outer_done_new, y_solved_new,
                     c_solved_new), None
 
-        init = (u, psi0, g0, jnp.asarray(1e-3, dtype), jnp.array(False),
-                y0, c0, jnp.array(0.0, dtype), jnp.array(False),
+        init = (u, psi0, g0, jnp.asarray(1e-3, dtype) + vz, _vfalse(u),
+                y0, c0, jnp.array(0.0, dtype) + vz, _vfalse(u),
                 y0, c0)
         carry, _ = jax.lax.scan(body, init, jnp.asarray(boundary))
         u, c = carry[0], carry[6]
