@@ -340,7 +340,20 @@ class SolverConfiguration:
                                     # continuation at the pre-escalated
                                     # warm penalty recovers almost nothing
                                     # (20.5k@0.977, /tmp ladder sweep r4).
-    escalation_slots: Any = (32,)
+    escalation_residual_tol: Any = 1e-4
+                                    # Lanes whose stationarity residual
+                                    # (control units) exceeds this are
+                                    # escalated EVEN IF the settledness
+                                    # probe passed them: the r5 residual-
+                                    # band study (docs/residual_band_r5
+                                    # .json) measured first-action
+                                    # deviations up to 0.21 control units
+                                    # vs a deep re-solve on the ~4% of
+                                    # warm lanes in the (1e-4, tol-pass]
+                                    # band, so "settled but rough" is not
+                                    # control-irrelevant.  None restores
+                                    # converged-only escalation.
+    escalation_slots: Any = (16,)
                                     # Per-stage slot DIVISORS for the
                                     # escalated batch path: ladder stage i
                                     # re-solves up to

@@ -217,9 +217,23 @@ def _build_mpc_solver_uncached(
             divisors = divisors + (divisors[-1],) * (len(stages)
                                                      - len(divisors))
 
+        res_tol = getattr(scfg, "escalation_residual_tol", None)
+
+        def _needs_escalation(sol: MpcSolve):
+            """Non-converged lanes PLUS the settled-but-rough residual band
+            (residual > escalation_residual_tol): the r5 band study
+            (docs/residual_band_r5.json) measured first-action deviations
+            up to 0.21 control units vs a deep re-solve on band lanes, so
+            they are re-solved too; the stage is latency-bound and the
+            extra slots are nearly free."""
+            fail = jnp.logical_not(sol.exit_ok)
+            if res_tol is not None:
+                fail = fail | (sol.residual > res_tol)
+            return fail
+
         def _run_stage(stage, K, Z, U0, sol, cont: bool) -> MpcSolve:
             B = Z.shape[0]
-            fail = jnp.logical_not(sol.exit_ok)
+            fail = _needs_escalation(sol)
             # Static-size gather of failing lanes (extras beyond K stay
             # unescalated; fill slots re-solve lane 0 harmlessly).
             idx = jnp.nonzero(fail, size=K, fill_value=0)[0]
@@ -228,11 +242,25 @@ def _build_mpc_solver_uncached(
             # Gather-only merge (scatter with fill-duplicated indices
             # has undefined write order): lane b's escalation slot is
             # its rank among failing lanes; take the deep result where
-            # the lane is in-slot and the re-solve converged.
+            # the lane is in-slot and the re-solve converged — and, for
+            # band lanes that were already "ok", only when the re-solve's
+            # residual is no worse.
             rank = jnp.cumsum(fail) - 1                # (B,)
             slot = jnp.clip(rank, 0, K - 1)
             in_slot = fail & (rank < K)
-            take = in_slot & deep.exit_ok[slot]
+            # Band lanes (already "ok"): take the re-solve on a CLEAR cost
+            # improvement (the lane was stuck in a worse basin — the r5
+            # band study's bimodal tail, cost gaps up to 1.7×), or on a
+            # residual improvement that doesn't regress cost (same basin,
+            # polished).  Cost is the decision metric, mirroring the
+            # tracker's feasibility-gated ranking.
+            cost_eps = 1e-6 * (1.0 + jnp.abs(sol.cost))
+            cost_gain = deep.cost[slot] <= sol.cost - 1e3 * cost_eps
+            band_better = cost_gain | (
+                (deep.residual[slot] <= sol.residual)
+                & (deep.cost[slot] <= sol.cost + cost_eps))
+            take = in_slot & deep.exit_ok[slot] & (
+                jnp.logical_not(sol.exit_ok) | band_better)
 
             def merge(old, new):
                 mask = take.reshape((B,) + (1,) * (new.ndim - 1))
@@ -256,13 +284,13 @@ def _build_mpc_solver_uncached(
                 # Slot floor: at small batches the divisor rule would leave
                 # most failing lanes unescalated (B=8 → 0-1 slots); 8 slots
                 # cost nothing at that scale.
-                K = max(B // div, min(B, 8), 1)
+                K = max(B // div, min(B, 16), 1)
                 # Gate the whole stage on any-fail: lax.cond under jit (no
                 # surrounding vmap) executes ONE branch, so a batch whose
                 # lanes all converged pays nothing for the ladder — the
                 # common case for warm in-scan solves at sim batch sizes.
                 sol = jax.lax.cond(
-                    jnp.any(jnp.logical_not(sol.exit_ok)),
+                    jnp.any(_needs_escalation(sol)),
                     lambda s, stage=stage, K=K, cont=cont: _run_stage(
                         stage, K, Z, U0, s, cont),
                     lambda s: s,

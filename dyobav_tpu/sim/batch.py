@@ -297,23 +297,40 @@ def build_lane_solvers(cfg: MpcConfiguration,
     if len(divisors) < len(ladder):
         divisors = divisors + (divisors[-1],) * (len(ladder) - len(divisors))
 
+    res_tol = getattr(scfg, "escalation_residual_tol", None)
+
+    def needs_escalation(res):
+        """Non-converged lanes + the settled-but-rough residual band
+        (engine._needs_escalation semantics; docs/residual_band_r5.json)."""
+        fail = jnp.logical_not(res.converged)
+        if res_tol is not None:
+            fail = fail | (res.residual > res_tol)
+        return fail
+
     def solve_batch(P: MpcParams, U0: jnp.ndarray):
         B = U0.shape[0]
         res = jax.vmap(solve_warm)(P, U0)
         for stage, div in zip(ladder, divisors):
-            K = max(B // div, min(B, 8), 1)   # slot floor, see engine.py
+            K = max(B // div, min(B, 16), 1)  # slot floor, see engine.py
 
             def run_stage(res, stage=stage, K=K):
-                fail = jnp.logical_not(res.converged)
+                fail = needs_escalation(res)
                 idx = jnp.nonzero(fail, size=K, fill_value=0)[0]
                 Pk = jax.tree.map(lambda x: x[idx], P)
                 deep = jax.vmap(stage)(Pk, U0[idx])
                 # Gather-only merge: lane b's slot is its rank among
                 # failing lanes; take the deep result where in-slot and
-                # the re-solve converged (see engine._run_stage).
+                # the re-solve converged (see engine._run_stage) — band
+                # lanes only when the re-solve's residual is no worse.
                 rank = jnp.cumsum(fail) - 1
                 slot = jnp.clip(rank, 0, K - 1)
-                take = fail & (rank < K) & deep.converged[slot]
+                cost_eps = 1e-6 * (1.0 + jnp.abs(res.cost))
+                cost_gain = deep.cost[slot] <= res.cost - 1e3 * cost_eps
+                band_better = cost_gain | (
+                    (deep.residual[slot] <= res.residual)
+                    & (deep.cost[slot] <= res.cost + cost_eps))
+                take = fail & (rank < K) & deep.converged[slot] & (
+                    jnp.logical_not(res.converged) | band_better)
 
                 def merge(old, new):
                     mask = take.reshape((B,) + (1,) * (new.ndim - 1))
@@ -321,7 +338,7 @@ def build_lane_solvers(cfg: MpcConfiguration,
 
                 return jax.tree.map(merge, res, deep)
 
-            res = jax.lax.cond(jnp.any(jnp.logical_not(res.converged)),
+            res = jax.lax.cond(jnp.any(needs_escalation(res)),
                                run_stage, lambda r: r, res)
         return res
 

@@ -63,10 +63,20 @@ def test_escalated_recovers_tail_and_preserves_converged():
     # strictly recover some of it.
     assert raw_ok < 1.0
     assert esc_ok > raw_ok
-    # Lanes the warm profile already converged are returned untouched.
-    touched = jnp.where(raw.exit_ok[:, None],
-                        jnp.abs(esc.u - raw.u), 0.0)
+    # Converged lanes BELOW the residual band are returned untouched;
+    # converged lanes in the band (residual > escalation_residual_tol) may
+    # be replaced by a deep re-solve, but only with a residual-no-worse,
+    # cost-no-worse solution (r5 band escalation, engine._run_stage).
+    res_tol = SCFG.escalation_residual_tol or 0.0
+    clean = raw.exit_ok & (raw.residual <= res_tol)
+    touched = jnp.where(clean[:, None], jnp.abs(esc.u - raw.u), 0.0)
     assert float(jnp.max(touched)) == 0.0
+    band_changed = raw.exit_ok & jnp.any(jnp.abs(esc.u - raw.u) > 0, axis=1)
+    polished = ((esc.residual <= raw.residual + 1e-6)
+                & (esc.cost <= raw.cost + 1e-5 * (1 + jnp.abs(raw.cost))))
+    basin_fix = esc.cost <= raw.cost - 5e-4 * (1 + jnp.abs(raw.cost))
+    assert bool(jnp.all(jnp.where(band_changed, polished | basin_fix,
+                                  True)))
     # Escalated lanes must not be worse than raw where both are feasible.
     both_feas = (raw.infeasibility <= 1e-3) & (esc.infeasibility <= 1e-3)
     gap = jnp.where(both_feas, esc.cost - raw.cost, 0.0)
