@@ -137,6 +137,12 @@ def main() -> int:
         du = np.abs(np.asarray(deep.u) - np.asarray(sol.u)[idx])
         first = du[:, :cfg.nu].max(axis=1)      # the action actually applied
         full = du.max(axis=1)
+        # Cost gap (shipped - deep): positive = the shipped solve is in a
+        # WORSE basin than the deep reference; ~zero/negative = the
+        # deviation is benign multimodality (equal-or-better merit), which
+        # is the solver's own decision metric.
+        cgap = np.asarray(sol.cost)[idx] - np.asarray(deep.cost)
+        crel = cgap / np.maximum(np.abs(np.asarray(deep.cost)), 1e-6)
         return {
             "n": int(len(idx)),
             "deep_converged": float(ok.mean()),
@@ -145,6 +151,11 @@ def main() -> int:
             "first_action_dev_max": float(first.max()),
             "full_seq_dev_mean": float(full.mean()),
             "full_seq_dev_max": float(full.max()),
+            "cost_gap_mean": float(cgap.mean()),
+            "cost_gap_p95": float(np.percentile(cgap, 95)),
+            "cost_gap_max": float(cgap.max()),
+            "cost_gap_rel_max": float(crel.max()),
+            "frac_cost_worse_1pct": float(np.mean(crel > 0.01)),
         }
 
     band_stats = deviation(idx_band)
