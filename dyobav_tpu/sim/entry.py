@@ -47,11 +47,23 @@ def main(argv=None) -> int:
     predictor = None if args.predictor in (None, "none") else args.predictor
     evaluation = args.command == "eval"
 
+    solver_config = None
+    if predictor == "mmp":
+        # mmp-hard ladder re-tune (r5, docs/mmp_ladder_retune_r5.json):
+        # the SWTA predictor's clustered ellipses make the per-step NLP
+        # harder, and the shipped (12, 6, 5, 1) distress budget converges
+        # only 0.67 of steps; the OpEn-default strong ramp lifts it to
+        # 0.92 at equal solve time — budget-bound, not infeasibility.
+        from ..configs import SolverConfiguration
+        solver_config = SolverConfiguration(
+            cold_profile=(30, 10, 10, 1, 10.0))
+
     base = MainBase(max_num_run=args.runs if evaluation else 1,
                     max_run_time_step=args.steps,
                     scenario_index=args.scenario,
                     evaluation=evaluation, seed=args.seed,
                     mmp_checkpoint=args.ckpt,
+                    solver_config=solver_config,
                     verbose=args.verbose)
     plotter = None
     if (args.plot or args.save_plot) and not evaluation:
